@@ -234,9 +234,9 @@ def shift_bits_var(x: jax.Array, b: jax.Array) -> jax.Array:
     (arithmetic), lo = x - hi*2^(16-b); the hi part moves one digit up with
     negacyclic wrap.  From digit bound M the output bound is 2^16 + M/2 + 1."""
     sh = DIGIT_BITS - b
-    hi = jax.lax.shift_right_arithmetic(x, sh)
-    lo = x - jax.lax.shift_left(hi, sh)
-    return jax.lax.shift_left(lo, b) + _wrap_inject(hi)
+    hi = jnp.right_shift(x, sh)          # arithmetic for signed int32; broadcasts
+    lo = x - jnp.left_shift(hi, sh)
+    return jnp.left_shift(lo, b) + _wrap_inject(hi)
 
 
 def shift_mod(x: jax.Array, s, W_bits: int) -> jax.Array:
@@ -280,8 +280,6 @@ def _rotate_digits_var(x: jax.Array, k: jax.Array) -> jax.Array:
     if L == 1:
         return x   # k must be 0
     nbits = max(1, (L - 1).bit_length())
-    if k.ndim == x.ndim - 1:
-        k = k[..., None]
     for t in range(nbits):
         kb = (k >> t) & 1
         x = jnp.where(kb == 1, shift_digits_static(x, 1 << t), x)

@@ -1,0 +1,128 @@
+"""Iterative radix-2 DIF transforms over Z/(2^W+1)Z (ref layer L3).
+
+The reference expresses transforms as pointer-swapping recursions
+(FFT_radix2 mul_fft.c:786-827, IFFT_radix2 mul_fft.c:1444-1486,
+FFT/IFFT_radix2_twiddle mul_fft.c:1397-1442, 1964-2010).  Here each transform
+is an *iterative stage loop over a coefficient matrix* [..., C, L]: every
+stage reshapes to (blocks, 2, half, L), applies one vectorized butterfly with
+a static per-position exponent table, and reassembles.  Recursion depth
+becomes a python loop of log2(C) stages traced once under jit; the pointer
+swaps become functional array updates XLA can alias.
+
+Conventions (identical to the reference):
+  * z = 2^w is a 2n-th root of unity; the forward transform is
+    decimation-in-frequency with output in revbin order (README:91).
+  * No scaling inside transforms: ifft(fft(x)) == 2^(depth+1) * x; callers
+    divide by 2^(depth+1) (ref: deferred scaling, mul_fft.c:3256-3260).
+  * `post_exps` / `pre_exps` fuse extra per-position twiddles into the
+    last forward / first inverse stage -- the mechanism behind the MFA's
+    "column twiddles cost nothing" (ref FFT_radix2_twiddle leaf fusion,
+    mul_fft.c:1406-1419; README:89).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .butterfly import butterfly_fwd, butterfly_inv
+from .limb import shift_mod
+
+
+def _as_col(e: np.ndarray):
+    """Shape a static exponent vector for broadcast over the digit axis."""
+    return e.astype(np.int64)[..., None]
+
+
+def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
+    """Forward DIF FFT of length C = x.shape[-2] over root z = 2^w.
+
+    Output in revbin order: out[j] = X(z^revbin(j)).  With `post_exps` (static
+    int vector of length C), output position j is additionally multiplied by
+    2^post_exps[j] -- fused into the final stage (ref FFT_radix2_twiddle)."""
+    C = x.shape[-2]
+    D = C.bit_length() - 1
+    assert C == 1 << D
+    if D == 0:
+        if post_exps is not None:
+            x = shift_mod(x, int(post_exps[0]), W)
+        return x
+    lead = x.shape[:-2]
+    L = x.shape[-1]
+    for l in range(D):
+        h = C >> (l + 1)
+        blocks = 1 << l
+        xr = x.reshape(lead + (blocks, 2, h, L))
+        a = xr[..., 0, :, :]
+        b = xr[..., 1, :, :]
+        e_t = np.arange(h, dtype=np.int64) * (w << l)   # i * w * 2^l bits
+        e_s = None
+        if l == D - 1 and post_exps is not None:
+            pe = post_exps.astype(np.int64).reshape(blocks, 2, h)
+            e_s = _as_col(pe[:, 0, :])                   # s lands at even pos
+            e_t = _as_col(pe[:, 1, :] + e_t)             # t at odd pos
+        else:
+            e_t = _as_col(e_t)
+        s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s)
+        x = jnp.stack([s, t], axis=-3).reshape(lead + (C, L))
+    return x
+
+
+def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
+    """Inverse of fft_radix2 (times 2^D): revbin-ordered input, natural-order
+    output, ifft(fft(x)) == 2^D * x.  With `pre_exps`, input position j is
+    first *divided* by 2^pre_exps[j] -- fused into the first inverse stage
+    (ref IFFT_radix2_twiddle, mul_fft.c:1964-2010)."""
+    C = x.shape[-2]
+    D = C.bit_length() - 1
+    assert C == 1 << D
+    if D == 0:
+        if pre_exps is not None:
+            x = shift_mod(x, (-int(pre_exps[0])) % (2 * W), W)
+        return x
+    lead = x.shape[:-2]
+    L = x.shape[-1]
+    for l in range(D - 1, -1, -1):
+        h = C >> (l + 1)
+        blocks = 1 << l
+        xr = x.reshape(lead + (blocks, 2, h, L))
+        s = xr[..., 0, :, :]
+        t = xr[..., 1, :, :]
+        e = np.arange(h, dtype=np.int64) * (w << l)
+        e_s = e_t = None
+        if l == D - 1 and pre_exps is not None:
+            pe = pre_exps.astype(np.int64).reshape(blocks, 2, h)
+            e_s = _as_col(pe[:, 0, :])
+            e_t = _as_col(pe[:, 1, :])
+        a, b = butterfly_inv(s, t, _as_col(e), W, e_s=e_s, e_t=e_t)
+        x = jnp.stack([a, b], axis=-3).reshape(lead + (C, L))
+    return x
+
+
+def fft_radix2_twiddle(x, w: int, W: int, ws: int, c: int):
+    """fft_radix2 followed by out[j] *= 2^(ws * revbin(j) * c): the MFA column
+    transform (ref FFT_radix2_twiddle, mul_fft.c:1397-1442, with r=0, rs=1;
+    leaf index r accumulates to revbin(j))."""
+    C = x.shape[-2]
+    pe = (revbin_vec(C) * (ws * c)) % (2 * W)
+    return fft_radix2(x, w, W, post_exps=pe)
+
+
+def ifft_radix2_twiddle(x, w: int, W: int, ws: int, c: int):
+    """Inverse of fft_radix2_twiddle (times 2^D): divides position j by
+    2^(ws * revbin(j) * c) then inverse-transforms (ref IFFT_radix2_twiddle)."""
+    C = x.shape[-2]
+    pe = (revbin_vec(C) * (ws * c)) % (2 * W)
+    return ifft_radix2(x, w, W, pre_exps=pe)
+
+
+def revbin_vec(C: int) -> np.ndarray:
+    """revbin(j, log2 C) for all j (ref mpir_revbin, mul_fft.c:52-79)."""
+    D = C.bit_length() - 1
+    assert C == 1 << D
+    j = np.arange(C, dtype=np.int64)
+    r = np.zeros_like(j)
+    for b in range(D):
+        r |= ((j >> b) & 1) << (D - 1 - b)
+    return r
