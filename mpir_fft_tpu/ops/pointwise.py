@@ -1,0 +1,77 @@
+"""L4 pointwise multiplication mod p = 2^(16L)+1 -- base case.
+
+Replaces the reference's calls into MPIR's assembly mpn_mulmod_2expp1
+(mul_fft.c:3119-3123) for below-crossover operand sizes.  A ring element's
+digits are split into base-2^8 chunks; the product is the *negacyclic*
+convolution of the chunk vectors (mod 2^(8*2L) + 1 == p), computed as a
+shift-and-accumulate scan in int32 (exact: |acc| <= 2L * 255^2 < 2^31 for
+2L <= 32768).  Batched over arbitrary leading dims -- the FFT's pointwise
+stage is one call over all coefficients.
+
+A Pallas/MXU Toeplitz path for this base case is the planned fast path; this
+jnp formulation is the portable exact reference (and already vectorizes over
+the huge pointwise batch).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .limb import DIGIT_BITS, normmod
+
+CHUNK_BITS = 8
+CHUNK_MASK = (1 << CHUNK_BITS) - 1
+
+
+def digits_to_chunks(x):
+    """[..., L] canonical digits -> [..., 2L] base-2^8 chunks (signed-safe:
+    the -1 special form maps to chunks (255, -1, 0, ...) == -1)."""
+    lo = x & CHUNK_MASK
+    hi = (x - lo) >> CHUNK_BITS
+    return jnp.stack([lo, hi], axis=-1).reshape(x.shape[:-1] + (2 * x.shape[-1],))
+
+
+def chunks_to_digits(c):
+    """[..., 2L] wide int32 chunks -> [..., L] redundant digits (bounded for
+    normmod).  Chunk-level negacyclic carry passes first to avoid overflow."""
+    for _ in range(2):
+        cc = c >> CHUNK_BITS
+        cr = c - (cc << CHUNK_BITS)
+        c = cr + jnp.concatenate([-cc[..., -1:], cc[..., :-1]], axis=-1)
+    ce = c[..., 0::2]
+    co = c[..., 1::2]
+    return ce + (co << CHUNK_BITS)
+
+
+def negacyclic_conv_chunks(a, b):
+    """Exact negacyclic convolution of chunk vectors [..., M]:
+    c_k = sum_{i+j=k} a_i b_j - sum_{i+j=k+M} a_i b_j  (the mod-2^(8M)+1
+    product).  Shift-and-accumulate over M steps (ref: the role MPIR's
+    schoolbook mulmod plays below the crossover, and fft_naive_convolution_1
+    at chunk granularity, mul_fft.c:2981-2996)."""
+    M = a.shape[-1]
+    a_steps = jnp.moveaxis(a, -1, 0)  # (M, ...)
+
+    def step(carry, ai):
+        acc, bs = carry
+        # bs: b shifted up by i chunks (negacyclic); ai: (...,) chunk i of a
+        acc = acc + ai[..., None] * bs
+        bs = jnp.concatenate([-bs[..., -1:], bs[..., :-1]], axis=-1)
+        return (acc, bs), None
+
+    (acc, _), _ = jax.lax.scan(step, (jnp.zeros_like(b), b), a_steps)
+    return acc
+
+
+def mulmod_base(a, b):
+    """(a * b) mod 2^(16L)+1 on canonical digit vectors [..., L] ->
+    canonical digits.  Exact for 2L <= 32768 chunks (W <= 2^18 bits)."""
+    M = 2 * a.shape[-1]
+    assert M <= 32768, "chunk accumulation would overflow int32; use FFT recursion"
+    ca = digits_to_chunks(a)
+    cb = digits_to_chunks(b)
+    cc = negacyclic_conv_chunks(ca, cb)
+    return normmod(chunks_to_digits(cc))

@@ -1,0 +1,99 @@
+"""L1 data marshalling: split an mpn integer into FFT coefficients and
+recombine with carries (ref FFT_split/_bits mul_fft.c:87-170,
+FFT_combine/_bits mul_fft.c:180-267).
+
+Integers live on device as vectors of canonical base-2^16 digits in int32.
+Splitting at arbitrary bit offsets is a static-index gather plus per-row
+variable shifts (the reference's running `shift_bits` + mpn_rshift loop,
+mul_fft.c:115-170, becomes one vectorized window extraction).  Combining is
+the transpose: each output digit sums the K = O(W/bits) coefficient windows
+that overlap it (the reference's mpn_lshift-into-temp + mpn_add_n loop,
+mul_fft.c:207-267), followed by one exact (non-modular) carry
+canonicalization."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .limb import DIGIT_BITS, DIGIT_MASK, _exact_carries
+
+
+def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
+    """Split digit vector x [..., Lx] into (..., num_coeffs, L) ring elements,
+    coefficient j = bits [j*bits, (j+1)*bits) of x, zero-padded to L digits.
+
+    Returns redundant-free canonical digits (each in [0, 2^16))."""
+    Lx = x.shape[-1]
+    j = np.arange(num_coeffs, dtype=np.int64)[:, None]
+    i = np.arange(L, dtype=np.int64)[None, :]
+    pos = j * bits + DIGIT_BITS * i
+    q = pos // DIGIT_BITS
+    r = (pos % DIGIT_BITS).astype(np.int32)
+    # per-digit mask: digit i of a coefficient holds bits [16i, 16(i+1)) of a
+    # `bits`-bit value
+    width = np.clip(bits - DIGIT_BITS * np.arange(L, dtype=np.int64), 0, DIGIT_BITS)
+    mask = ((1 << width) - 1).astype(np.int32)[None, :]
+    # pad so q+1 is always valid
+    pad = int(q.max()) + 2 - Lx
+    if pad > 0:
+        x = jnp.concatenate(
+            [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+        )
+    lo = jnp.take(x, jnp.asarray(q), axis=-1)
+    hi = jnp.take(x, jnp.asarray(q + 1), axis=-1)
+    rr = jnp.asarray(r)
+    val = jnp.right_shift(lo, rr) | jnp.left_shift(hi, DIGIT_BITS - rr)
+    return val & jnp.asarray(mask)
+
+
+def fft_combine_bits(c, bits: int, Lout: int):
+    """Combine (..., C, L) canonical nonnegative ring coefficients into a
+    digit vector [..., Lout]: sum_j c[j] * 2^(j*bits), carried and canonical.
+
+    Requires each coefficient value < 2^(16*L) (canonical digits) and the true
+    sum < 2^(16*(Lout-1)) so the final carry dies inside the output."""
+    C, L = c.shape[-2], c.shape[-1]
+    W = DIGIT_BITS * L
+    K = W // bits + 2
+    d = np.arange(Lout, dtype=np.int64)[:, None]
+    k = np.arange(K, dtype=np.int64)[None, :]
+    j = (DIGIT_BITS * d + DIGIT_BITS - 1) // bits - k           # (Lout, K)
+    off = DIGIT_BITS * d - j * bits
+    valid = (j >= 0) & (j < C) & (off > -DIGIT_BITS) & (off < W)
+    j_safe = np.where(valid, j, 0)
+    qq = off >> 4          # floor(off/16), off possibly negative
+    rr = (off & 15).astype(np.int32)
+    # pad coefficient digits with one zero in front (for qq == -1) and behind
+    zeros = jnp.zeros(c.shape[:-1] + (1,), c.dtype)
+    cp = jnp.concatenate([zeros, c, zeros], axis=-1)            # [..., C, L+2]
+    qq_safe = np.where(valid, qq, -1) + 1                       # index into cp
+    flat_lo = np.where(valid, j_safe * (L + 2) + qq_safe, 0)
+    flat_hi = np.where(valid & (qq_safe + 1 < L + 2), j_safe * (L + 2) + qq_safe + 1, 0)
+    hi_valid = valid & (qq_safe + 1 < L + 2)
+    cpf = cp.reshape(cp.shape[:-2] + (C * (L + 2),))
+    lo = jnp.take(cpf, jnp.asarray(flat_lo), axis=-1)
+    hi = jnp.take(cpf, jnp.asarray(flat_hi), axis=-1)
+    rrj = jnp.asarray(rr)
+    val = jnp.right_shift(lo, rrj) | jnp.left_shift(
+        jnp.where(jnp.asarray(hi_valid), hi, 0), DIGIT_BITS - rrj
+    )
+    val = jnp.where(jnp.asarray(valid), val & DIGIT_MASK, 0)
+    out = jnp.sum(val, axis=-1)                                 # [..., Lout]
+    return canonicalize_plain(out)
+
+
+def canonicalize_plain(x):
+    """Exact non-modular carry canonicalization of a nonnegative redundant
+    digit vector (digits < ~2^20); the true value must fit in the vector."""
+    c = x >> DIGIT_BITS
+    r = x - (c << DIGIT_BITS)
+    x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    # digits now < 2^16 + 2^16 = 2^17; one more pass bounds carries to {0,1}
+    c = x >> DIGIT_BITS
+    r = x - (c << DIGIT_BITS)
+    x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    cin, _ = _exact_carries(x)
+    r = x + cin
+    return r - ((r >> DIGIT_BITS) << DIGIT_BITS)

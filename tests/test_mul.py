@@ -1,0 +1,72 @@
+"""Tier-3 end-to-end product tests vs the Python-int oracle multiplier
+(ref test_mul / test_mul5 / test_mul4, mul_fft.c:5459-5608: new_mpn_mul* vs
+MPIR's mpn_mul at even and uneven operand sizes)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mpir_fft_tpu.models.mul import mpn_mul_radix2, mul, out_len_digits
+from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
+from mpir_fft_tpu.ops.split import fft_combine_bits, fft_split_bits
+from mpir_fft_tpu.utils.params import cdiv, choose_params, plan_for_depth
+
+
+def rand_bits(rng, bits):
+    words = rng.integers(0, 1 << 32, size=cdiv(bits, 32), dtype=np.uint64)
+    v = 0
+    for i, wd in enumerate(words.tolist()):
+        v |= int(wd) << (32 * i)
+    v |= 1 << (bits - 1)
+    return v & ((1 << bits) - 1)
+
+
+def test_split_combine_roundtrip(rng):
+    bits = 40
+    L = 8  # ring digits per coefficient
+    x = rand_bits(rng, 1000)
+    Lx = cdiv(1000, DIGIT_BITS)
+    C = cdiv(1000, bits) + 1
+    d = jnp.asarray(digits_from_int(x, Lx))
+    coeffs = fft_split_bits(d, bits, C, L)
+    # check each coefficient value
+    cn = np.asarray(coeffs)
+    for j in range(C):
+        want = (x >> (j * bits)) & ((1 << bits) - 1)
+        assert int_from_digits(cn[j]) == want, j
+    back = fft_combine_bits(coeffs, bits, Lx + 4)
+    assert int_from_digits(np.asarray(back)) == x
+
+
+def test_combine_overlapping(rng):
+    # coefficients wider than the stride: exercises the carrying sum
+    bits, L, C = 24, 4, 30   # 64-bit coefficients at 24-bit strides
+    vals = [int(v) for v in rng.integers(0, 1 << 62, C, dtype=np.uint64)]
+    coeffs = np.stack([digits_from_int(v, L) for v in vals])
+    want = sum(v << (j * bits) for j, v in enumerate(vals))
+    out = fft_combine_bits(jnp.asarray(coeffs), bits, cdiv(want.bit_length(), 16) + 2)
+    assert int_from_digits(np.asarray(out)) == want
+
+
+@pytest.mark.parametrize("ba,bb", [(20000, 20000), (50000, 37000), (100001, 99999)])
+def test_mul_exact(ba, bb, rng):
+    a, b = rand_bits(rng, ba), rand_bits(rng, bb)
+    assert mul(a, b) == a * b
+
+
+def test_mul_driver_various_depths(rng):
+    ba = bb = 30000
+    a, b = rand_bits(rng, ba), rand_bits(rng, bb)
+    for depth in (3, 4, 5, 6):
+        plan = plan_for_depth(ba, bb, depth)
+        da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
+        db = jnp.asarray(digits_from_int(b, cdiv(bb, DIGIT_BITS)))
+        out = mpn_mul_radix2(da, db, plan)
+        assert int_from_digits(np.asarray(out)) == a * b, depth
+
+
+def test_mul_small_fallback(rng):
+    a, b = rand_bits(rng, 100), rand_bits(rng, 50)
+    assert mul(a, b) == a * b
+    assert mul(a, 0) == 0
