@@ -26,6 +26,7 @@ from mpir_fft_tpu.ops.limb import (
     int_from_digits,
     normmod,
 )
+from mpir_fft_tpu.ops.mfa import fft_radix2_mfa, ifft_radix2_mfa
 from mpir_fft_tpu.ops.pointwise import mulmod_base
 from mpir_fft_tpu.ops.split import fft_combine_bits, fft_split_bits
 from mpir_fft_tpu.ops.transforms import fft_radix2, ifft_radix2
@@ -55,6 +56,41 @@ def mpn_mul_radix2(a, b, plan: MulPlan):
     return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
 
 
+def mfa_shape(plan: MulPlan) -> tuple[int, int]:
+    """Square-ish (n1 cols, n2 rows) split of the length-2n transform
+    (ref: sqrt blocking, mul_fft.c:3200; README:87)."""
+    D = plan.depth + 1
+    n1 = 1 << (D // 2)
+    return n1, (2 * plan.n) // n1
+
+
+def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None):
+    """Cyclic multiply via the 2-D Matrix Fourier transform (the new_mpn_mul3
+    skeleton without sqrt2/truncation; ref mul_fft.c:3339-3413).
+
+    `constrain(x, stage)` optionally applies sharding constraints at the
+    column/row boundaries (see parallel/mfa_sharded.py)."""
+    ring = Ring(plan.n, plan.w)
+    C, W, D = 2 * plan.n, ring.bits, plan.depth + 1
+    n1, n2 = mfa_shape(plan)
+    con = constrain or (lambda x, stage: x)
+
+    def fwd(digits):
+        c = fft_split_bits(digits, plan.bits1, C, ring.L)
+        m = c.reshape(c.shape[:-2] + (n2, n1, ring.L))
+        m = con(m, "cols")
+        return fft_radix2_mfa(m, plan.w, W, n1, n2)
+
+    fa = con(fwd(a), "rows")
+    fb = con(fwd(b), "rows")
+    prod = mulmod_base(normmod(fa), normmod(fb))
+    c = ifft_radix2_mfa(prod, plan.w, W, n1, n2)
+    c = con(c, "cols")
+    c = c.reshape(c.shape[:-3] + (C, ring.L))
+    c = normmod(div_2expmod(c, D, W))
+    return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+
+
 # ---------------------------------------------------------------------------
 # Host convenience API
 # ---------------------------------------------------------------------------
@@ -66,6 +102,8 @@ _SMALL_THRESHOLD_BITS = 1 << 14
 def _jitted_driver(kind: str, plan: MulPlan):
     if kind == "radix2":
         fn = functools.partial(mpn_mul_radix2, plan=plan)
+    elif kind == "mfa":
+        fn = functools.partial(mpn_mul_mfa, plan=plan)
     else:
         raise ValueError(kind)
     return jax.jit(fn)

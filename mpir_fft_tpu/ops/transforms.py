@@ -44,9 +44,12 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
+    if post_exps is not None:
+        post_exps = np.asarray(post_exps, np.int64)
+        pe_lead = post_exps.shape[:-1]
     if D == 0:
         if post_exps is not None:
-            x = shift_mod(x, int(post_exps[0]), W)
+            x = shift_mod(x, jnp.asarray(post_exps % (2 * W))[..., None], W)
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
@@ -59,9 +62,9 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         e_t = np.arange(h, dtype=np.int64) * (w << l)   # i * w * 2^l bits
         e_s = None
         if l == D - 1 and post_exps is not None:
-            pe = post_exps.astype(np.int64).reshape(blocks, 2, h)
-            e_s = _as_col(pe[:, 0, :])                   # s lands at even pos
-            e_t = _as_col(pe[:, 1, :] + e_t)             # t at odd pos
+            pe = post_exps.reshape(pe_lead + (blocks, 2, h))
+            e_s = _as_col(pe[..., 0, :])                 # s lands at even pos
+            e_t = _as_col(pe[..., 1, :] + e_t)           # t at odd pos
         else:
             e_t = _as_col(e_t)
         s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s)
@@ -77,9 +80,12 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
+    if pre_exps is not None:
+        pre_exps = np.asarray(pre_exps, np.int64)
+        pe_lead = pre_exps.shape[:-1]
     if D == 0:
         if pre_exps is not None:
-            x = shift_mod(x, (-int(pre_exps[0])) % (2 * W), W)
+            x = shift_mod(x, jnp.asarray((-pre_exps) % (2 * W))[..., None], W)
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
@@ -92,9 +98,9 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         e = np.arange(h, dtype=np.int64) * (w << l)
         e_s = e_t = None
         if l == D - 1 and pre_exps is not None:
-            pe = pre_exps.astype(np.int64).reshape(blocks, 2, h)
-            e_s = _as_col(pe[:, 0, :])
-            e_t = _as_col(pe[:, 1, :])
+            pe = pre_exps.reshape(pe_lead + (blocks, 2, h))
+            e_s = _as_col(pe[..., 0, :])
+            e_t = _as_col(pe[..., 1, :])
         a, b = butterfly_inv(s, t, _as_col(e), W, e_s=e_s, e_t=e_t)
         x = jnp.stack([a, b], axis=-3).reshape(lead + (C, L))
     return x

@@ -1,0 +1,74 @@
+"""MFA transform tests (ref test_fft_ifft_mfa mul_fft.c:4767) and the
+sharded multiply on a virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from mpir_fft_tpu.models.mul import mpn_mul_mfa, mul
+from mpir_fft_tpu.ops.limb import Ring, int_from_digits, normmod
+from mpir_fft_tpu.ops.mfa import fft_radix2_mfa, ifft_radix2_mfa
+from mpir_fft_tpu.ops.transforms import fft_radix2, revbin_vec
+from mpir_fft_tpu.parallel.mfa_sharded import sharded_mul_step
+from mpir_fft_tpu.utils import oracle
+from mpir_fft_tpu.utils.params import plan_for_depth
+
+CASES = [(Ring(8, 2), 4, 4), (Ring(8, 16), 2, 8), (Ring(16, 4), 8, 4), (Ring(32, 2), 8, 8)]
+
+
+def vals_of(arr, W):
+    arr = np.asarray(normmod(arr))
+    flat = arr.reshape(-1, arr.shape[-1])
+    return [oracle.canon(int_from_digits(r), W) for r in flat]
+
+
+@pytest.mark.parametrize("ring,n1,n2", CASES)
+def test_mfa_matches_1d_fft(ring, n1, n2, rng):
+    """MFA output at cell (j2p, j1p) == 1-D FFT frequency
+    revbin(j2p) + n2 * revbin(j1p)."""
+    C, W = 2 * ring.n, ring.bits
+    assert n1 * n2 == C
+    x = oracle.rand_digits(rng, (C, ring.L))
+    f1 = np.array(vals_of(fft_radix2(jnp.asarray(x), ring.w, W), W))
+    rb_full = revbin_vec(C)
+    freq_1d = np.empty(C, dtype=object)
+    for j in range(C):
+        freq_1d[rb_full[j]] = f1[j]
+    m = jnp.asarray(x).reshape(n2, n1, ring.L)
+    f2 = vals_of(fft_radix2_mfa(m, ring.w, W, n1, n2), W)
+    rb2, rb1 = revbin_vec(n2), revbin_vec(n1)
+    for j2p in range(n2):
+        for j1p in range(n1):
+            k = rb2[j2p] + n2 * rb1[j1p]
+            assert f2[j2p * n1 + j1p] == freq_1d[k], (j2p, j1p)
+
+
+@pytest.mark.parametrize("ring,n1,n2", CASES)
+def test_mfa_roundtrip(ring, n1, n2, rng):
+    C, W = 2 * ring.n, ring.bits
+    D = C.bit_length() - 1
+    x = oracle.rand_digits(rng, (n2, n1, ring.L))
+    y = ifft_radix2_mfa(fft_radix2_mfa(jnp.asarray(x), ring.w, W, n1, n2), ring.w, W, n1, n2)
+    got = vals_of(y, W)
+    want = vals_of(jnp.asarray(x), W)
+    for i in range(C):
+        assert got[i] == oracle.canon(want[i] * (1 << D), W)
+
+
+def test_mul_mfa_driver(rng):
+    import mpir_fft_tpu.models.mul as m
+
+    ba = bb = 40000
+    a = int.from_bytes(rng.bytes(ba // 8), "little") | (1 << (ba - 1))
+    b = int.from_bytes(rng.bytes(bb // 8), "little") | (1 << (bb - 1))
+    assert mul(a, b, driver="mfa") == a * b
+
+
+def test_sharded_mul_8dev():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest should provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    sharded_mul_step(mesh, bits=1 << 14)
