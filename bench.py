@@ -45,10 +45,13 @@ def main():
     want = a * b
     host_s = time.perf_counter() - t0
 
-    plan = choose_params(bits, bits)
+    driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
+    from mpir_fft_tpu.models.mul import DRIVERS
+
+    plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
     da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
     db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
-    fn = mulmod._jitted_driver("radix2", plan)
+    fn = mulmod._jitted_driver(driver, plan)
     out = fn(da, db)
     out.block_until_ready()          # compile + warm
     best = float("inf")

@@ -1,0 +1,125 @@
+"""Production CLI: multiply big integers from binary files / measure
+throughput, without bouncing through Python ints (the native marshal layer
+feeds byte buffers straight into digit planes).
+
+Plays the role of the reference's main() driver (mul_fft.c:5610-5647) but as
+a real runtime-configurable tool instead of compile-time #if TEST/TIME
+switches (mul_fft.c:31-32):
+
+  python -m mpir_fft_tpu.cli mul a.bin b.bin out.bin [--driver flagship]
+  python -m mpir_fft_tpu.cli bench --bits 10000000 [--driver flagship]
+  python -m mpir_fft_tpu.cli selftest [--bits 200000]
+  python -m mpir_fft_tpu.cli baseline --bits 10000000   (GMP mpn_mul timing)
+
+File format: raw little-endian magnitude bytes (GMP mpz export order -1).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _load_digits(path: str):
+    from mpir_fft_tpu import native
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS
+
+    with open(path, "rb") as f:
+        buf = f.read()
+    nbits = 8 * len(buf)
+    L = max(1, -(-nbits // DIGIT_BITS))
+    return native.digits_from_bytes(buf, L), nbits
+
+
+def cmd_mul(args) -> int:
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu import native
+    from mpir_fft_tpu.models.mul import DRIVERS, _jitted_driver
+    from mpir_fft_tpu.ops.limb import normmod
+    from mpir_fft_tpu.utils.params import choose_params
+
+    da, bits_a = _load_digits(args.a)
+    db, bits_b = _load_digits(args.b)
+    plan = choose_params(bits_a, bits_b, sqrt2=DRIVERS[args.driver][1])
+    t0 = time.perf_counter()
+    out = _jitted_driver(args.driver, plan)(jnp.asarray(da), jnp.asarray(db))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    buf = native.bytes_from_digits(np.asarray(out))
+    with open(args.out, "wb") as f:
+        f.write(buf)
+    print(json.dumps({"bits_a": bits_a, "bits_b": bits_b, "driver": args.driver,
+                      "seconds": round(dt, 6), "out_bytes": len(buf)}))
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import bench as bench_mod  # repo-root bench.py
+
+    sys.argv = ["bench.py", str(args.bits), str(args.reps), args.driver]
+    bench_mod.main()
+    return 0
+
+
+def cmd_selftest(args) -> int:
+    from mpir_fft_tpu.models.mul import DRIVERS, mul
+
+    rng = np.random.default_rng(0)
+    bits = args.bits
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | (1 << (bits - 1))
+    b = int.from_bytes(rng.bytes(bits // 16), "little") | (1 << (bits // 2 - 1))
+    failures = []
+    for drv in DRIVERS:
+        ok = mul(a, b, driver=drv) == a * b
+        print(f"{drv:<12} {'OK' if ok else 'FAIL'}")
+        if not ok:
+            failures.append(drv)
+    return 1 if failures else 0
+
+
+def cmd_baseline(args) -> int:
+    from mpir_fft_tpu import native
+
+    r = native.gmp_baseline(args.bits, args.reps)
+    if r is None:
+        print(json.dumps({"error": "gmp baseline unavailable"}))
+        return 1
+    print(json.dumps(r))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mpir_fft_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("mul", help="multiply two binary little-endian integer files")
+    m.add_argument("a"), m.add_argument("b"), m.add_argument("out")
+    m.add_argument("--driver", default="flagship")
+    m.set_defaults(fn=cmd_mul)
+
+    b = sub.add_parser("bench", help="time the multiply on the attached device")
+    b.add_argument("--bits", type=int, default=10_000_000)
+    b.add_argument("--reps", type=int, default=3)
+    b.add_argument("--driver", default="flagship")
+    b.set_defaults(fn=cmd_bench)
+
+    s = sub.add_parser("selftest", help="run every driver against the host oracle")
+    s.add_argument("--bits", type=int, default=200_000)
+    s.set_defaults(fn=cmd_selftest)
+
+    g = sub.add_parser("baseline", help="time GMP mpn_mul (CPU baseline)")
+    g.add_argument("--bits", type=int, default=10_000_000)
+    g.add_argument("--reps", type=int, default=3)
+    g.set_defaults(fn=cmd_baseline)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

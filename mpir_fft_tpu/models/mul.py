@@ -2,12 +2,24 @@
 
 All drivers share the reference skeleton (mul_fft.c:3190-3265): derive sizes,
 split both operands into ring coefficients, forward-transform, normalize +
-pointwise-multiply, inverse-transform, scale by 2^-(depth+1), normalize,
-combine with carries.  They differ in the transform family used.
+pointwise-multiply, inverse-transform, scale by 2^-log2(conv_len), normalize,
+combine with carries.  They differ in the transform family used -- the same
+six-generation surface as the reference, each mapped to its transform pair:
+
+  driver        transform pair                      ref
+  radix2        FFT/IFFT_radix2 (plain cyclic)      (baseline; no direct ref)
+  sqrt2         FFT/IFFT_radix2_sqrt2               new_mpn_mul2, mul_fft.c:3267
+  mfa           FFT/IFFT_radix2_mfa                 new_mpn_mul3, mul_fft.c:3339
+  trunc_sqrt2   FFT/IFFT_radix2_truncate_sqrt2      new_mpn_mul4, mul_fft.c:3415
+  trunc         FFT/IFFT_radix2_truncate            new_mpn_mul5, mul_fft.c:3494
+  mfa_trunc     FFT/IFFT_radix2_mfa_truncate        new_mpn_mul,  mul_fft.c:3190
+  flagship      FFT/IFFT_radix2_mfa_truncate_sqrt2  new_mpn_mul6, mul_fft.c:3573
+                + recursive pointwise fft_mulmod_2expp1 (mul_fft.c:3626-3654)
 
 Device data model: integers are canonical base-2^16 digit vectors (int32).
 Drivers are pure jittable functions of digit arrays; shapes/plans are static.
-"""
+Truncated drivers slice the valid coefficient prefix into the combine, so
+cost scales with j1 + j2, not the padded convolution length."""
 
 from __future__ import annotations
 
@@ -26,10 +38,20 @@ from mpir_fft_tpu.ops.limb import (
     int_from_digits,
     normmod,
 )
-from mpir_fft_tpu.ops.mfa import fft_radix2_mfa, ifft_radix2_mfa
+from mpir_fft_tpu.ops.mfa import (
+    fft_radix2_mfa,
+    ifft_radix2_mfa,
+    mfa_fft_trunc,
+    mfa_fft_trunc_sqrt2,
+    mfa_ifft_trunc,
+    mfa_ifft_trunc_sqrt2,
+)
+from mpir_fft_tpu.ops.mulmod import mulmod
 from mpir_fft_tpu.ops.pointwise import mulmod_base
 from mpir_fft_tpu.ops.split import fft_combine_bits, fft_split_bits
+from mpir_fft_tpu.ops.sqrt2 import fft_sqrt2, fft_trunc_sqrt2, ifft_sqrt2, ifft_trunc_sqrt2
 from mpir_fft_tpu.ops.transforms import fft_radix2, ifft_radix2
+from mpir_fft_tpu.ops.truncate import fft_trunc, ifft_trunc
 from mpir_fft_tpu.utils.params import MulPlan, choose_params, cdiv
 
 
@@ -37,42 +59,89 @@ def out_len_digits(plan: MulPlan) -> int:
     return cdiv(plan.bits_a + plan.bits_b, DIGIT_BITS) + 2
 
 
-def mpn_mul_radix2(a, b, plan: MulPlan):
-    """Plain full-length cyclic FFT multiply (the new_mpn_mul skeleton with
-    FFT/IFFT_radix2; ref mul_fft.c:3190-3265 without truncation/MFA).
+def _pointwise(fa, fb, W: int, recursive: bool):
+    """Normalize + pointwise product mod 2^W+1 over the whole coefficient
+    batch (ref pointwise loop, mul_fft.c:3626-3654).  recursive=True uses the
+    self-recursive fft_mulmod path above its crossover (the new_mpn_mul6
+    behavior); False always uses the schoolbook base (new_mpn_mul..mul5's
+    mpn_mulmod_2expp1 leaf)."""
+    fa, fb = normmod(fa), normmod(fb)
+    if recursive:
+        return mulmod(fa, fb, W)
+    return mulmod_base(fa, fb)
 
-    a, b: canonical digit vectors of the operands.  Returns the product as a
-    canonical digit vector of length out_len_digits(plan)."""
+
+def _finish(c, plan: MulPlan, valid: int):
+    """Scale by 2^-lg_conv, canonicalize, and combine the first `valid`
+    coefficients (ref scale + FFT_combine_bits, mul_fft.c:3658-3665)."""
+    W = plan.W
+    c = normmod(div_2expmod(c, plan.lg_conv, W))
+    return fft_combine_bits(c[..., :valid, :], plan.bits1, out_len_digits(plan))
+
+
+def _split2(a, b, plan: MulPlan):
     ring = Ring(plan.n, plan.w)
-    C, W, D = 2 * plan.n, ring.bits, plan.depth + 1
-
-    ia = fft_split_bits(a, plan.bits1, C, ring.L)
-    ib = fft_split_bits(b, plan.bits1, C, ring.L)
-    fa = fft_radix2(ia, plan.w, W)
-    fb = fft_radix2(ib, plan.w, W)
-    prod = mulmod_base(normmod(fa), normmod(fb))
-    c = ifft_radix2(prod, plan.w, W)
-    c = normmod(div_2expmod(c, D, W))
-    return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+    C = plan.conv_len
+    return (
+        fft_split_bits(a, plan.bits1, C, ring.L),
+        fft_split_bits(b, plan.bits1, C, ring.L),
+    )
 
 
-def mfa_shape(plan: MulPlan) -> tuple[int, int]:
-    """Square-ish (n1 cols, n2 rows) split of the length-2n transform
-    (ref: sqrt blocking, mul_fft.c:3200; README:87)."""
-    D = plan.depth + 1
-    n1 = 1 << (D // 2)
-    return n1, (2 * plan.n) // n1
+def mpn_mul_radix2(a, b, plan: MulPlan, recursive: bool = False):
+    """Plain full-length cyclic FFT multiply (the new_mpn_mul skeleton with
+    FFT/IFFT_radix2, no truncation/MFA)."""
+    assert not plan.sqrt2
+    W = plan.W
+    ia, ib = _split2(a, b, plan)
+    prod = _pointwise(fft_radix2(ia, plan.w, W), fft_radix2(ib, plan.w, W), W, recursive)
+    return _finish(ifft_radix2(prod, plan.w, W), plan, plan.conv_len)
 
 
-def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None):
-    """Cyclic multiply via the 2-D Matrix Fourier transform (the new_mpn_mul3
-    skeleton without sqrt2/truncation; ref mul_fft.c:3339-3413).
+def mpn_mul_sqrt2(a, b, plan: MulPlan, recursive: bool = False):
+    """Length-4n multiply via the sqrt2 transforms, no truncation
+    (ref new_mpn_mul2, mul_fft.c:3267-3337)."""
+    assert plan.sqrt2
+    W = plan.W
+    ia, ib = _split2(a, b, plan)
+    prod = _pointwise(fft_sqrt2(ia, plan.w, W), fft_sqrt2(ib, plan.w, W), W, recursive)
+    return _finish(ifft_sqrt2(prod, plan.w, W), plan, plan.conv_len)
+
+
+def mpn_mul_trunc(a, b, plan: MulPlan, recursive: bool = False):
+    """Truncated 1-D multiply (ref new_mpn_mul5, mul_fft.c:3494-3571)."""
+    assert not plan.sqrt2
+    W, t = plan.W, plan.trunc
+    ia, ib = _split2(a, b, plan)
+    fa = fft_trunc(ia, plan.w, W, t)
+    fb = fft_trunc(ib, plan.w, W, t)
+    prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
+    prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
+    return _finish(ifft_trunc(prod, plan.w, W, t), plan, t)
+
+
+def mpn_mul_trunc_sqrt2(a, b, plan: MulPlan, recursive: bool = False):
+    """Truncated length-4n multiply (ref new_mpn_mul4, mul_fft.c:3415-3492)."""
+    assert plan.sqrt2
+    W, t = plan.W, plan.trunc
+    ia, ib = _split2(a, b, plan)
+    fa = fft_trunc_sqrt2(ia, plan.w, W, t)
+    fb = fft_trunc_sqrt2(ib, plan.w, W, t)
+    prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
+    prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
+    return _finish(ifft_trunc_sqrt2(prod, plan.w, W, t), plan, t)
+
+
+def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None, recursive: bool = False):
+    """Cyclic multiply via the 2-D Matrix Fourier transform
+    (ref new_mpn_mul3, mul_fft.c:3339-3413).
 
     `constrain(x, stage)` optionally applies sharding constraints at the
     column/row boundaries (see parallel/mfa_sharded.py)."""
+    assert not plan.sqrt2
     ring = Ring(plan.n, plan.w)
-    C, W, D = 2 * plan.n, ring.bits, plan.depth + 1
-    n1, n2 = mfa_shape(plan)
+    C, W = plan.conv_len, plan.W
+    n1, n2 = plan.n1, plan.n2
     con = constrain or (lambda x, stage: x)
 
     def fwd(digits):
@@ -83,12 +152,52 @@ def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None):
 
     fa = con(fwd(a), "rows")
     fb = con(fwd(b), "rows")
-    prod = mulmod_base(normmod(fa), normmod(fb))
+    prod = _pointwise(fa, fb, W, recursive)
     c = ifft_radix2_mfa(prod, plan.w, W, n1, n2)
     c = con(c, "cols")
     c = c.reshape(c.shape[:-3] + (C, ring.L))
-    c = normmod(div_2expmod(c, D, W))
-    return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+    return _finish(c, plan, C)
+
+
+def mpn_mul_mfa_trunc(a, b, plan: MulPlan, constrain=None, recursive: bool = False):
+    """Truncated MFA multiply (ref new_mpn_mul, mul_fft.c:3190-3265)."""
+    assert not plan.sqrt2
+    ring = Ring(plan.n, plan.w)
+    C, W = plan.conv_len, plan.W
+    n1, n2 = plan.n1, plan.n2
+    t = plan.trunc_mfa
+    t2 = t // n1
+    con = constrain or (lambda x, stage: x)
+
+    def fwd(digits):
+        c = fft_split_bits(digits, plan.bits1, C, ring.L)
+        m = c.reshape(c.shape[:-2] + (n2, n1, ring.L))
+        m = con(m, "cols")
+        return mfa_fft_trunc(m, plan.w, W, n1, n2, t2)
+
+    fa = con(fwd(a), "rows")
+    fb = con(fwd(b), "rows")
+    prod = _pointwise(fa[..., :t2, :, :], fb[..., :t2, :, :], W, recursive)
+    prod = jnp.concatenate([prod, jnp.zeros_like(fa[..., t2:, :, :])], axis=-3)
+    c = mfa_ifft_trunc(prod, plan.w, W, n1, n2, t2)
+    c = con(c, "cols")
+    c = c.reshape(c.shape[:-3] + (C, ring.L))
+    return _finish(c, plan, t)
+
+
+def mpn_mul_flagship(a, b, plan: MulPlan, recursive: bool = True):
+    """THE production multiply: truncated sqrt2 MFA transforms with the
+    recursive Fermat pointwise step (ref new_mpn_mul6, mul_fft.c:3573-3668)."""
+    assert plan.sqrt2
+    W, n1 = plan.W, plan.n1
+    t = plan.trunc_mfa
+    ia, ib = _split2(a, b, plan)
+    fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)
+    fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t)
+    prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
+    prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
+    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t)
+    return _finish(c, plan, t)
 
 
 # ---------------------------------------------------------------------------
@@ -97,19 +206,25 @@ def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None):
 
 _SMALL_THRESHOLD_BITS = 1 << 14
 
+DRIVERS = {
+    "radix2": (mpn_mul_radix2, False),
+    "sqrt2": (mpn_mul_sqrt2, True),
+    "trunc": (mpn_mul_trunc, False),
+    "trunc_sqrt2": (mpn_mul_trunc_sqrt2, True),
+    "mfa": (mpn_mul_mfa, False),
+    "mfa_trunc": (mpn_mul_mfa_trunc, False),
+    "flagship": (mpn_mul_flagship, True),
+}
+
 
 @functools.lru_cache(maxsize=64)
 def _jitted_driver(kind: str, plan: MulPlan):
-    if kind == "radix2":
-        fn = functools.partial(mpn_mul_radix2, plan=plan)
-    elif kind == "mfa":
-        fn = functools.partial(mpn_mul_mfa, plan=plan)
-    else:
-        raise ValueError(kind)
-    return jax.jit(fn)
+    fn, needs_sqrt2 = DRIVERS[kind]
+    assert plan.sqrt2 == needs_sqrt2, (kind, plan)
+    return jax.jit(functools.partial(fn, plan=plan))
 
 
-def mul(a: int, b: int, driver: str = "radix2") -> int:
+def mul(a: int, b: int, driver: str = "flagship") -> int:
     """Multiply two nonnegative Python ints via the TPU FFT pipeline.
 
     Small products fall back to the host (the reference likewise delegates
@@ -121,7 +236,7 @@ def mul(a: int, b: int, driver: str = "radix2") -> int:
     ba, bb = a.bit_length(), b.bit_length()
     if ba + bb <= _SMALL_THRESHOLD_BITS:
         return a * b
-    plan = choose_params(ba, bb)
+    plan = choose_params(ba, bb, sqrt2=DRIVERS[driver][1])
     La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)
     da = jnp.asarray(digits_from_int(a, La))
     db = jnp.asarray(digits_from_int(b, Lb))

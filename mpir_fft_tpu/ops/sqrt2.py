@@ -1,0 +1,166 @@
+"""Length-4n transforms over Z/(2^W+1)Z using sqrt(2) as the extra root
+(ref layer L3 sqrt2 family: FFT_radix2_sqrt2 mul_fft.c:839-885,
+IFFT_radix2_sqrt2 mul_fft.c:1488-1536, FFT_radix2_truncate_sqrt2
+mul_fft.c:1230-1288, IFFT_radix2_truncate_sqrt2 mul_fft.c:1792-1859;
+butterflies mul_fft.c:591-634, 673-719; trick documented TODO:1-24).
+
+With p = 2^W + 1,   sqrt2 := 2^(3W/4) - 2^(W/4)   satisfies sqrt2^2 == 2
+(mod p), so q = sqrt2^w is a 4n-th root of unity (q^2 = z = 2^w) and a
+transform of length 4n = 2 * (2n) exists in the same ring: the sqrt2 trick
+doubles usable transform length for free.  Exponents become *half-integers*:
+we carry them in HALF-BIT units (e2 below; the twiddle is 2^(e2/2)), reduced
+mod 4W.  Multiplication by an odd half-exponent costs two shifts and a
+subtract:
+
+    x * 2^(k + 1/2) = x * 2^(k + 3W/4) - x * 2^(k + W/4)
+
+(the reference's two-phase shift-and-subtract, mul_fft.c:591-634; W here
+always satisfies 4 | W since W = 16 L, so no odd-limb special case like
+mul_fft.c:629 is needed).  Only the TOP stage of a length-4n transform ever
+sees odd half-exponents -- one level down the root is q^2 = 2^w and
+everything is the plain integer-shift machinery; with w even the whole
+transform collapses to the plain radix-2 path with w/2
+(ref mul_fft.c:850-855)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from .butterfly import butterfly_inv
+from .limb import carry_pass, div_2expmod, shift_mod
+from .transforms import _as_col, fft_radix2, ifft_radix2
+from .truncate import fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
+
+
+def twiddle_half(x, e2, W: int):
+    """x[..., j, :] * 2^(e2[j] / 2) mod p for a static half-bit exponent
+    vector e2 (mod 4W).  Even entries are plain shifts; odd entries take the
+    sqrt2 path.  Uses position slicing when parity alternates with position
+    (every transform/weighting table in this library), masked select
+    otherwise."""
+    e2 = np.mod(np.asarray(e2, np.int64), 4 * W)
+    if x.shape[-2] != e2.shape[-1]:
+        raise ValueError((x.shape, e2.shape))
+    k = e2 >> 1
+    odd = (e2 & 1).astype(bool)
+    if not odd.any():
+        return shift_mod(x, _as_col(k % (2 * W)), W)
+
+    def sqrt2_shift(xs, ks):
+        hi = shift_mod(xs, _as_col((ks + 3 * W // 4) % (2 * W)), W)
+        lo = shift_mod(xs, _as_col((ks + W // 4) % (2 * W)), W)
+        return carry_pass(hi - lo)
+
+    if odd.all():
+        return sqrt2_shift(x, k)
+    C = e2.shape[-1]
+    pos_par = (np.arange(C) & 1).astype(bool)
+    if C % 2 == 1:
+        pass  # interleave paths need an even split; fall through to select
+    elif np.array_equal(odd, pos_par):
+        ev = shift_mod(x[..., 0::2, :], _as_col(k[0::2] % (2 * W)), W)
+        od = sqrt2_shift(x[..., 1::2, :], k[1::2])
+        out = jnp.stack([ev, od], axis=-2)
+        return out.reshape(out.shape[:-3] + (C,) + out.shape[-1:])
+    elif np.array_equal(odd, ~pos_par):
+        ev = sqrt2_shift(x[..., 0::2, :], k[0::2])
+        od = shift_mod(x[..., 1::2, :], _as_col(k[1::2] % (2 * W)), W)
+        out = jnp.stack([ev, od], axis=-2)
+        return out.reshape(out.shape[:-3] + (C,) + out.shape[-1:])
+    plain = shift_mod(x, _as_col(k % (2 * W)), W)
+    root2 = sqrt2_shift(x, k)
+    return jnp.where(jnp.asarray(odd)[..., None], root2, plain)
+
+
+def _top_exps(h: int, w: int) -> np.ndarray:
+    """Half-bit exponents of q^j = 2^(w j / 2) for the top stage, j < h."""
+    return np.arange(h, dtype=np.int64) * w
+
+
+def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
+    """Forward DIF FFT of length C = x.shape[-2] = 4n over the 4n-th root
+    q = sqrt2^w (ref FFT_radix2_sqrt2, mul_fft.c:839-885).  Even w reduces to
+    the plain transform with w/2 (ref mul_fft.c:850-855)."""
+    C = x.shape[-2]
+    if w % 2 == 0:
+        return fft_radix2(x, w // 2, W, post_exps=post_exps)
+    h = C // 2
+    a, b = x[..., :h, :], x[..., h:, :]
+    s = carry_pass(a + b)
+    t = twiddle_half(a - b, _top_exps(h, w), W)
+    left = fft_radix2(s, w, W, post_exps=None if post_exps is None else post_exps[:h])
+    right = fft_radix2(t, w, W, post_exps=None if post_exps is None else post_exps[h:])
+    return jnp.concatenate([left, right], axis=-2)
+
+
+def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
+    """Inverse of fft_sqrt2 (times C): ifft halves then top inverse
+    butterflies with q^-j (ref IFFT_radix2_sqrt2, mul_fft.c:1488-1536)."""
+    C = x.shape[-2]
+    if w % 2 == 0:
+        return ifft_radix2(x, w // 2, W, pre_exps=pre_exps)
+    h = C // 2
+    sL = ifft_radix2(x[..., :h, :], w, W,
+                     pre_exps=None if pre_exps is None else pre_exps[:h])
+    tR = ifft_radix2(x[..., h:, :], w, W,
+                     pre_exps=None if pre_exps is None else pre_exps[h:])
+    u = twiddle_half(tR, -_top_exps(h, w), W)
+    return jnp.concatenate([carry_pass(sL + u), carry_pass(sL - u)], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Truncated variants (length 4n; ref mul_fft.c:1230-1288, 1792-1859)
+# ---------------------------------------------------------------------------
+
+def fft_trunc_sqrt2(x, w: int, W: int, trunc: int):
+    """Truncated length-4n forward transform, zero input tail past trunc
+    (ref FFT_radix2_truncate_sqrt2, mul_fft.c:1230-1288)."""
+    C = x.shape[-2]
+    assert 1 <= trunc <= C
+    if w % 2 == 0:
+        return fft_trunc(x, w // 2, W, trunc)
+    if trunc == C:
+        return fft_sqrt2(x, w, W)
+    h = C // 2
+    if trunc <= h:
+        left = fft_trunc(x[..., :h, :], w, W, trunc)
+        return jnp.concatenate([left, x[..., h:, :]], axis=-2)
+    k = trunc - h
+    a, b = x[..., :h, :], x[..., h:, :]
+    s = jnp.concatenate([carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :]], axis=-2)
+    d = jnp.concatenate([a[..., :k, :] - b[..., :k, :], a[..., k:, :]], axis=-2)
+    t = twiddle_half(d, _top_exps(h, w), W)
+    left = fft_radix2(s, w, W)
+    right = fft_trunc1(t, w, W, k)
+    return jnp.concatenate([left, right], axis=-2)
+
+
+def ifft_trunc_sqrt2(v, w: int, W: int, trunc: int):
+    """Truncated length-4n inverse transform, zero coefficient tail
+    (ref IFFT_radix2_truncate_sqrt2, mul_fft.c:1792-1859).  Returns C * x on
+    positions < trunc."""
+    C = v.shape[-2]
+    assert 1 <= trunc <= C
+    if w % 2 == 0:
+        return ifft_trunc(v, w // 2, W, trunc)
+    if trunc == C:
+        return ifft_sqrt2(v, w, W)
+    h = C // 2
+    if trunc <= h:
+        left = ifft_trunc(v[..., :h, :], w, W, trunc)
+        return jnp.concatenate([carry_pass(left + left), v[..., h:, :]], axis=-2)
+    k = trunc - h
+    sL = ifft_radix2(v[..., :h, :], w, W)
+    # missing right inputs for j >= k: t_j = s_j * q^j, unscaled
+    # (ref reconstruction via FFT_twiddle(_sqrt2), mul_fft.c:1821-1830)
+    tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
+    tail = twiddle_half(tail, _top_exps(h, w)[k:], W)
+    vr = jnp.concatenate([v[..., h:trunc, :], tail], axis=-2)
+    oR = ifft_trunc1(vr, w, W, k)
+    u = twiddle_half(oR[..., :k, :], -_top_exps(h, w)[:k], W)
+    xa = carry_pass(sL[..., :k, :] + u)
+    xb = carry_pass(sL[..., :k, :] - u)
+    mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
+    return jnp.concatenate([xa, mid, xb, v[..., trunc:, :]], axis=-2)

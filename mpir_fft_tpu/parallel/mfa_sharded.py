@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mpir_fft_tpu.models.mul import mfa_shape, mpn_mul_mfa, out_len_digits
+from mpir_fft_tpu.models.mul import mpn_mul_mfa, out_len_digits
 from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
 from mpir_fft_tpu.utils.params import cdiv, plan_for_depth
 
@@ -55,7 +55,7 @@ def sharded_mul_step(mesh: Mesh, bits: int = 1 << 14) -> None:
     # need n1 (columns) divisible by the mesh: depth+1 >= 2*log2(ndev)-ish
     depth = max(5, 2 * max(1, (ndev - 1).bit_length()))
     plan = plan_for_depth(bits, bits, depth)
-    n1, n2 = mfa_shape(plan)
+    n1, n2 = plan.n1, plan.n2
     assert n1 % ndev == 0, (n1, ndev)
 
     rng = np.random.default_rng(0)

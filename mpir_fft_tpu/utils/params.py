@@ -1,4 +1,4 @@
-"""Transform parameter selection (depth, w, coefficient size).
+"""Transform parameter selection (depth, w, coefficient size, truncation).
 
 The reference has *no* auto-tuner: every new_mpn_mul* caller hardcodes
 (depth, w) and "will just segfault if n and w2 are not sufficiently large"
@@ -6,12 +6,13 @@ The reference has *no* auto-tuner: every new_mpn_mul* caller hardcodes
 size -> (depth, w1) derivation (mul_fft.c:3141-3162).  Here parameter choice
 is a first-class, validated component.
 
-Sizing rule (ref mul_fft.c:3194, 3271): with convolution length 2n and ring
+Sizing rule (ref mul_fft.c:3194, 3271): with convolution length m and ring
 width W = n*w bits, each input coefficient may hold
-    bits1 = (W - (depth + 1)) // 2
-bits so that accumulated pointwise sums never overflow mod p.  (We use the
-sqrt2-safe depth+1 slack uniformly.)
-"""
+    bits1 = (W - log2(m)) // 2
+bits so that accumulated pointwise sums never overflow mod p.  Plain plans
+use m = 2n (log2(m) = depth+1); sqrt2 plans use m = 4n (log2(m) = depth+2),
+getting double the transform length from the same ring -- the sqrt2 trick
+(TODO:1-24, mul_fft.c:839-885)."""
 
 from __future__ import annotations
 
@@ -27,13 +28,14 @@ def cdiv(a: int, b: int) -> int:
 
 @dataclasses.dataclass(frozen=True)
 class MulPlan:
-    depth: int          # n = 2^depth, convolution length 2n
+    depth: int          # n = 2^depth
     w: int              # ring W = n*w bits, p = 2^W + 1
     bits1: int          # input coefficient size in bits
     j1: int             # number of coefficients of operand 1
     j2: int             # number of coefficients of operand 2
     bits_a: int
     bits_b: int
+    sqrt2: bool = False  # convolution length 4n (root sqrt2^w) vs 2n
 
     @property
     def n(self) -> int:
@@ -44,64 +46,94 @@ class MulPlan:
         return self.n * self.w
 
     @property
+    def conv_len(self) -> int:
+        return (4 if self.sqrt2 else 2) * self.n
+
+    @property
+    def lg_conv(self) -> int:
+        return self.depth + (2 if self.sqrt2 else 1)
+
+    @property
+    def n1(self) -> int:
+        """MFA column count: square-ish split of the length-2n half
+        (ref sqrt blocking, mul_fft.c:3200; README:87)."""
+        return 1 << ((self.depth + 1) // 2)
+
+    @property
+    def n2(self) -> int:
+        return (2 * self.n) // self.n1
+
+    @property
     def trunc(self) -> int:
-        # outputs needed: j1 + j2 - 1, rounded to an even count >= 2
+        """Kept outputs: j1 + j2 - 1, rounded to >= 2 even positions."""
         return max(2, 2 * cdiv(self.j1 + self.j2 - 1, 2))
+
+    @property
+    def trunc_mfa(self) -> int:
+        """trunc rounded to a multiple of n1 (MFA row granularity,
+        ref mul_fft.c:3613)."""
+        return min(self.conv_len, max(self.n1, self.n1 * cdiv(self.j1 + self.j2 - 1, self.n1)))
 
 
 def validate(plan: MulPlan):
     n, W = plan.n, plan.W
     assert W % DIGIT_BITS == 0
-    assert plan.bits1 >= DIGIT_BITS, "coefficient size below one digit"
-    assert 2 * plan.bits1 + plan.depth + 1 <= W, "coefficient overflow mod p"
-    assert plan.j1 + plan.j2 - 1 <= 2 * n, "convolution wraps"
+    assert plan.bits1 >= 1, "empty coefficients"
+    assert 2 * plan.bits1 + plan.lg_conv <= W, "coefficient overflow mod p"
+    assert plan.j1 + plan.j2 - 1 <= plan.conv_len, "convolution wraps"
     assert plan.j1 == cdiv(plan.bits_a, plan.bits1)
     assert plan.j2 == cdiv(plan.bits_b, plan.bits1)
     return plan
 
 
-def plan_for_depth(bits_a: int, bits_b: int, depth: int) -> MulPlan:
+def plan_for_depth(bits_a: int, bits_b: int, depth: int, sqrt2: bool = False) -> MulPlan:
     """Smallest valid w for a given depth (mirrors how reference callers pick
     w after fixing depth, e.g. mul_fft.c:3576-3613)."""
     n = 1 << depth
+    m = (4 if sqrt2 else 2) * n
+    lg = depth + (2 if sqrt2 else 1)
     total = bits_a + bits_b
-    # need j1 + j2 <= 2n  =>  bits1 >= ~total/(2n); then W >= 2*bits1 + depth+1
+    lcm = n * DIGIT_BITS // math.gcd(n, DIGIT_BITS)
     for extra in range(0, 1 << 30):
-        bits1 = cdiv(total, 2 * n) + extra
-        # W must be a multiple of both 16 and n (so w is an integer)
-        lcm = n * DIGIT_BITS // math.gcd(n, DIGIT_BITS)
-        W = cdiv(2 * bits1 + depth + 1, lcm) * lcm
+        bits1 = cdiv(total, m) + extra
+        W = cdiv(2 * bits1 + lg, lcm) * lcm
         w = W // n
-        bits1_max = (W - (depth + 1)) // 2
+        bits1_max = (W - lg) // 2
         j1, j2 = cdiv(bits_a, bits1_max), cdiv(bits_b, bits1_max)
-        if j1 + j2 - 1 <= 2 * n:
+        if j1 + j2 - 1 <= m:
             return validate(
-                MulPlan(depth, w, bits1_max, j1, j2, bits_a, bits_b)
+                MulPlan(depth, w, bits1_max, j1, j2, bits_a, bits_b, sqrt2)
             )
     raise AssertionError("unreachable")
 
 
-def choose_params(bits_a: int, bits_b: int) -> MulPlan:
-    """Pick (depth, w) balancing coefficient count vs coefficient size:
-    aim for coefficient width ~ sqrt(total bits) (the square-ish rule of
-    fft_mulmod_2expp1, mul_fft.c:3141-3162), scanning nearby depths for the
-    cheapest plan by a simple work model."""
+def plan_cost(plan: MulPlan) -> float:
+    """Rough work model: transform passes + schoolbook pointwise (used until
+    the recursive mulmod crossover kicks in)."""
+    L = plan.W // DIGIT_BITS
+    m = plan.conv_len
+    t = plan.trunc
+    fft_cost = 3 * t * L * plan.lg_conv * 3
+    pw_cost = t * (2 * L) ** 2 // 8
+    return 3 * fft_cost + pw_cost
+
+
+def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPlan:
+    """Pick (depth, w, sqrt2) by scanning near the square-ish optimum
+    (the fft_mulmod_2expp1 rule, mul_fft.c:3141-3162) with a simple work
+    model.  sqrt2=None considers both convolution families."""
     total = bits_a + bits_b
     d0 = max(2, (total.bit_length() // 2) - 2)
     best, best_cost = None, None
-    for depth in range(max(2, d0 - 2), d0 + 3):
-        try:
-            plan = plan_for_depth(bits_a, bits_b, depth)
-        except AssertionError:
-            continue
-        n, W = plan.n, plan.W
-        L = W // DIGIT_BITS
-        # stage cost: 2n coefficients * L digits * (depth+1) stages * 3 passes
-        fft_cost = 3 * (2 * n) * L * (depth + 1)
-        # pointwise: schoolbook chunks (until recursion lands): 2n * (2L)^2
-        pw_cost = (2 * n) * (2 * L) ** 2 // 8
-        cost = 3 * fft_cost + pw_cost
-        if best_cost is None or cost < best_cost:
-            best, best_cost = plan, cost
+    variants = [False, True] if sqrt2 is None else [sqrt2]
+    for s2 in variants:
+        for depth in range(max(2, d0 - 2), d0 + 3):
+            try:
+                plan = plan_for_depth(bits_a, bits_b, depth, s2)
+            except AssertionError:
+                continue
+            cost = plan_cost(plan)
+            if best_cost is None or cost < best_cost:
+                best, best_cost = plan, cost
     assert best is not None, "no valid plan found"
     return best

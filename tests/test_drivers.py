@@ -1,0 +1,71 @@
+"""Tier-3 whole-product tests: every multiplication driver vs the Python
+big-int oracle at even and uneven operand sizes (ref test_mul
+mul_fft.c:5459-5505, test_mul5 mul_fft.c:5507-5557 on 3/4-size operands,
+test_mul4 mul_fft.c:5559-5608), plus MFA-truncate transform consistency."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mpir_fft_tpu.models.mul import DRIVERS, _jitted_driver, out_len_digits
+from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
+from mpir_fft_tpu.utils.params import cdiv, choose_params, plan_for_depth
+
+
+def rand_int(rng, bits):
+    v = int.from_bytes(rng.bytes(cdiv(bits, 8)), "little")
+    v |= 1 << (bits - 1)
+    return v & ((1 << bits) - 1)
+
+
+def run_driver(kind, a, b, depth=None):
+    ba, bb = a.bit_length(), b.bit_length()
+    sqrt2 = DRIVERS[kind][1]
+    plan = (
+        plan_for_depth(ba, bb, depth, sqrt2) if depth is not None else choose_params(ba, bb, sqrt2)
+    )
+    da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bb, DIGIT_BITS)))
+    out = _jitted_driver(kind, plan)(da, db)
+    return int_from_digits(np.asarray(out))
+
+
+# small depths keep CPU compiles fast while covering every branch family
+CASES = [
+    ("radix2", 6000, 6000, 3),
+    ("sqrt2", 6000, 6000, 3),       # odd-w sqrt2 path at depth 4 ring
+    ("trunc", 9000, 5500, 4),       # uneven: truncation actually kicks in
+    ("trunc", 4000, 3800, 3),
+    ("trunc_sqrt2", 9000, 5500, 3),
+    ("trunc_sqrt2", 12000, 4000, 3),
+    ("mfa", 6000, 6000, 3),
+    ("mfa_trunc", 9000, 5500, 4),
+    ("mfa_trunc", 16000, 9000, 4),
+    ("flagship", 9000, 5500, 3),
+    ("flagship", 16000, 9000, 4),
+    ("flagship", 24000, 6000, 4),
+]
+
+
+@pytest.mark.parametrize("kind,ba,bb,depth", CASES)
+def test_driver_exact(kind, ba, bb, depth, rng):
+    a, b = rand_int(rng, ba), rand_int(rng, bb)
+    assert run_driver(kind, a, b, depth) == a * b, (kind, ba, bb, depth)
+
+
+def test_flagship_auto_plan(rng):
+    """Planner-chosen parameters (the path mul() takes)."""
+    a, b = rand_int(rng, 30000), rand_int(rng, 22000)
+    assert run_driver("flagship", a, b) == a * b
+
+
+def test_plan_properties():
+    for ba, bb in [(10**5, 10**5), (10**6, 3 * 10**5), (65536, 65536)]:
+        for sqrt2 in (False, True):
+            p = choose_params(ba, bb, sqrt2)
+            assert p.sqrt2 == sqrt2
+            assert p.j1 + p.j2 - 1 <= p.conv_len
+            assert 2 * p.bits1 + p.lg_conv <= p.W
+            assert p.trunc_mfa % p.n1 == 0
+            assert p.n1 * p.n2 == 2 * p.n

@@ -67,6 +67,32 @@ def test_mul_mfa_driver(rng):
     assert mul(a, b, driver="mfa") == a * b
 
 
+@pytest.mark.parametrize("ring,n1,n2", CASES[:3])
+def test_mfa_trunc_matches_full_head(ring, n1, n2, rng):
+    """Truncated MFA == full MFA on the kept rows (ref test_fft_ifft_mfa_truncate
+    mul_fft.c:4938 equivalence), and the truncated inverse round-trips."""
+    from mpir_fft_tpu.ops.mfa import mfa_fft_trunc, mfa_ifft_trunc
+
+    C, W = 2 * ring.n, ring.bits
+    D = C.bit_length() - 1
+    for trunc2 in sorted({1, n2 // 2, n2 - 1, n2}):
+        if not 1 <= trunc2 <= n2:
+            continue
+        x = oracle.rand_digits(rng, (n2, n1, ring.L))
+        x[trunc2:] = 0
+        xj = jnp.asarray(x)
+        got = vals_of(mfa_fft_trunc(xj, ring.w, W, n1, n2, trunc2), W)
+        want = vals_of(fft_radix2_mfa(xj, ring.w, W, n1, n2), W)
+        assert got[: trunc2 * n1] == want[: trunc2 * n1], (ring, trunc2)
+        # round-trip
+        y = mfa_fft_trunc(xj, ring.w, W, n1, n2, trunc2)
+        o = mfa_ifft_trunc(y, ring.w, W, n1, n2, trunc2)
+        gv = vals_of(o, W)
+        xv = vals_of(xj, W)
+        for j in range(trunc2 * n1):
+            assert gv[j] == oracle.canon(xv[j] * (1 << D), W), (ring, trunc2, j)
+
+
 def test_sharded_mul_8dev():
     devs = jax.devices()
     assert len(devs) >= 8, "conftest should provide 8 virtual CPU devices"
