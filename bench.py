@@ -1,11 +1,20 @@
 """Benchmark CLI: times the flagship multiply on the attached TPU chip and
 prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline: measured host big-int multiply (CPython's Karatsuba; GMP is not
-installed with headers in this image).  The reference publishes no numbers
-(BASELINE.md), so vs_baseline is measured speedup over the host multiply at
-the same size: ours_time vs host_time -> vs_baseline = host/ours (>1 means
-the TPU path wins)."""
+vs_baseline is the measured speedup over GMP's assembly mpn_mul on this
+machine's CPU (the reference's implied comparison target, mul_fft.c:5359,
+5406, 5452; measured via mpir_fft_tpu/native/gmp_baseline.c since the
+reference publishes no numbers -- see BASELINE.md).  Falls back to CPython's
+big-int multiply if the GMP harness can't build.
+
+Timing methodology: the attached TPU can be a remote (tunneled) device where
+block_until_ready returns before the computation's cost is visible, so each
+measured repetition CHAINS the previous output into the next input and the
+loop is closed with a scalar reduction fetch -- the chain forces every
+multiply to really execute before the clock stops.
+
+Usage: bench.py [bits] [reps] [driver]
+"""
 
 from __future__ import annotations
 
@@ -17,22 +26,22 @@ import numpy as np
 
 
 def rand_bits(rng, bits):
-    words = rng.integers(0, 1 << 32, size=(bits + 31) // 32, dtype=np.uint64)
-    v = 0
-    for i, wd in enumerate(words.tolist()):
-        v |= int(wd) << (32 * i)
+    v = int.from_bytes(rng.bytes((bits + 7) // 8), "little")
     v |= 1 << (bits - 1)
     return v & ((1 << bits) - 1)
 
 
 def main():
     bits = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 
     import jax
     import jax.numpy as jnp
 
+    from mpir_fft_tpu import native
     from mpir_fft_tpu.models import mul as mulmod
+    from mpir_fft_tpu.models.mul import DRIVERS
     from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
     from mpir_fft_tpu.utils.params import cdiv, choose_params
 
@@ -40,42 +49,67 @@ def main():
     a = rand_bits(rng, bits)
     b = rand_bits(rng, bits)
 
-    # host baseline (one rep; CPython big-int multiply)
-    t0 = time.perf_counter()
-    want = a * b
-    host_s = time.perf_counter() - t0
-
-    driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
-    from mpir_fft_tpu.models.mul import DRIVERS
-
     plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
-    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
-    db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
+    L = cdiv(bits, DIGIT_BITS)
+    da = jnp.asarray(digits_from_int(a, L))
+    db = jnp.asarray(digits_from_int(b, L))
     fn = mulmod._jitted_driver(driver, plan)
-    out = fn(da, db)
-    out.block_until_ready()          # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(da, db)
-        out.block_until_ready()
-        best = min(best, time.perf_counter() - t0)
 
-    # correctness spot-check on device result
+    # chained step: reuse the low digits of the product as the next operand
+    # (canonical digits in, canonical digits out -> same shapes, no recompile)
+    @jax.jit
+    def step(prev, db):
+        out = fn(prev, db)
+        return out[..., :L]
+
+    out = fn(da, db)
+    out.block_until_ready()              # compile + warm
+    # the attached device may load/compile the program server-side on first
+    # execution with block_until_ready returning early; force TWO full
+    # executions with real result fetches before timing
+    for _ in range(2):
+        _ = int(jnp.sum(step(da, db)))
+
+    import contextlib
+    import os
+
+    prof_dir = os.environ.get("BENCH_PROFILE")
+    ctx = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+    with ctx:
+        t0 = time.perf_counter()
+        prev = da
+        for _ in range(reps):
+            prev = step(prev, db)
+        # scalar fetch closes the dependency chain
+        sink = int(jnp.sum(prev))
+        wall = (time.perf_counter() - t0) / reps
+
+    # correctness spot-check on the plain (unchained) device result
     got = mulmod.int_from_digits(np.asarray(out))
-    ok = got == want
+    ok = got == a * b
+
+    base = native.gmp_baseline(bits, 2)
+    if base is not None:
+        base_s, base_kind = base["value"], "gmp_mpn_mul"
+    else:
+        t0 = time.perf_counter()
+        _ = a * b
+        base_s, base_kind = time.perf_counter() - t0, "cpython_int"
 
     print(
         json.dumps(
             {
                 "metric": f"mul_{bits}bit_walltime",
-                "value": round(best, 6),
+                "value": round(wall, 6),
                 "unit": "s",
-                "vs_baseline": round(host_s / best, 3),
+                "vs_baseline": round(base_s / wall, 3),
                 "exact": bool(ok),
-                "host_baseline_s": round(host_s, 6),
-                "plan": {"depth": plan.depth, "w": plan.w},
+                "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
+                "driver": driver,
+                "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
                 "device": str(jax.devices()[0]),
+                "reps": reps,
+                "sink": sink % 1000,
             }
         )
     )

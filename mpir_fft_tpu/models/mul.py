@@ -60,15 +60,17 @@ def out_len_digits(plan: MulPlan) -> int:
 
 
 def _pointwise(fa, fb, W: int, recursive: bool):
-    """Normalize + pointwise product mod 2^W+1 over the whole coefficient
-    batch (ref pointwise loop, mul_fft.c:3626-3654).  recursive=True uses the
+    """Pointwise product mod 2^W+1 over the whole coefficient batch
+    (ref pointwise loop, mul_fft.c:3626-3654).  recursive=True uses the
     self-recursive fft_mulmod path above its crossover (the new_mpn_mul6
     behavior); False always uses the schoolbook base (new_mpn_mul..mul5's
-    mpn_mulmod_2expp1 leaf)."""
-    fa, fb = normmod(fa), normmod(fb)
+    mpn_mulmod_2expp1 leaf).  Redundant digits flow straight through: the
+    base path multiplies them exactly and the recursive path normalizes
+    internally, so no normmod scan happens here at all (unlike the
+    reference's per-coefficient mpn_normmod_2expp1, mul_fft.c:3626-3654)."""
     if recursive:
         return mulmod(fa, fb, W)
-    return mulmod_base(fa, fb)
+    return mulmod_base(fa, fb, canonical=False)
 
 
 def _finish(c, plan: MulPlan, valid: int):
@@ -185,18 +187,21 @@ def mpn_mul_mfa_trunc(a, b, plan: MulPlan, constrain=None, recursive: bool = Fal
     return _finish(c, plan, t)
 
 
-def mpn_mul_flagship(a, b, plan: MulPlan, recursive: bool = True):
+def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True):
     """THE production multiply: truncated sqrt2 MFA transforms with the
-    recursive Fermat pointwise step (ref new_mpn_mul6, mul_fft.c:3573-3668)."""
+    recursive Fermat pointwise step (ref new_mpn_mul6, mul_fft.c:3573-3668).
+
+    `constrain(x, stage)` applies sharding constraints at the MFA column/row
+    boundaries inside each half (see parallel/mfa_sharded.py)."""
     assert plan.sqrt2
     W, n1 = plan.W, plan.n1
     t = plan.trunc_mfa
     ia, ib = _split2(a, b, plan)
-    fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)
-    fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t)
+    fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)
+    fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t, con=constrain)
     prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
     prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
-    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t)
+    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)
     return _finish(c, plan, t)
 
 

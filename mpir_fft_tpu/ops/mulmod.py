@@ -130,6 +130,7 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     digit vectors (the -1 residue as [-1, 0, ...]); returns same form."""
     N, m, b, Wp, wp = plan.N, plan.m, plan.b, plan.Wp, plan.wp
     LN = N // DIGIT_BITS
+    x, y = normmod(x), normmod(y)   # callers may pass redundant digits
     x0, mx = _strip_minus1(x)
     y0, my = _strip_minus1(y)
 
@@ -137,7 +138,7 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     cb = fft_split_bits(y0, b, m, plan.Lp)
     fa = fft_negacyclic(ca, wp, Wp)
     fb = fft_negacyclic(cb, wp, Wp)
-    pw = mulmod(normmod(fa), normmod(fb), Wp)
+    pw = mulmod(fa, fb, Wp)
     c = ifft_negacyclic(pw, wp, Wp)
     v = normmod(negacyclic_scale(c, plan.depth + 1, Wp))
 
@@ -163,15 +164,19 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     return normmod(folded)
 
 
-def mulmod(x, y, N: int, depth: int | None = None):
+def mulmod(x, y, N: int, depth: int | None = None, canonical: bool = False):
     """(x * y) mod 2^N+1 with automatic algorithm choice (ref
     fft_mulmod_2expp1, mul_fft.c:3125-3167): schoolbook chunk convolution
     below the crossover, recursive negacyclic FFT above.  Batched over
-    leading dims of the [..., N/16] canonical digit vectors."""
+    leading dims of the [..., N/16] digit vectors.
+
+    Inputs may be redundant (|digit| <= ~2^17) or canonical; with
+    canonical=False (the transform-internal default) the base path also
+    returns bounded redundant digits, skipping the normalization scan."""
     assert x.shape[-1] == y.shape[-1] == N // DIGIT_BITS
     plan = None
     if N > MULMOD_BASE_MAX_BITS:
         plan = mulmod_plan(N, depth)
     if plan is None:
-        return mulmod_base(x, y)
-    return mulmod_fft(x, y, plan)
+        return mulmod_base(x, y, canonical=canonical)
+    return mulmod_fft(x, y, plan)   # always canonical

@@ -66,12 +66,22 @@ def negacyclic_conv_chunks(a, b):
     return acc
 
 
-def mulmod_base(a, b):
-    """(a * b) mod 2^(16L)+1 on canonical digit vectors [..., L] ->
-    canonical digits.  Exact for 2L <= 32768 chunks (W <= 2^18 bits)."""
+def mulmod_base(a, b, canonical: bool = True):
+    """(a * b) mod 2^(16L)+1 on digit vectors [..., L].
+
+    Inputs may be REDUNDANT signed digits (|digit| <= ~2^17, the transform
+    invariant): chunk products then stay below 2^18 and the accumulation
+    below 2L * 2^18, exact in int32 for 2L <= 4096 chunks.  With
+    canonical=False the result is returned as bounded redundant digits
+    (|digit| < ~2^20) without the exact normalization scan -- the FFT's
+    pointwise stage consumes it directly, saving three full normmod passes
+    per multiply (ref: the reference must normalize before every
+    mpn_mulmod_2expp1 because MPIR's kernel wants proper mpn operands,
+    mul_fft.c:3626-3654; the redundant representation has no such need)."""
     M = 2 * a.shape[-1]
-    assert M <= 32768, "chunk accumulation would overflow int32; use FFT recursion"
+    assert M <= 4096, "chunk accumulation would overflow int32; use FFT recursion"
     ca = digits_to_chunks(a)
     cb = digits_to_chunks(b)
     cc = negacyclic_conv_chunks(ca, cb)
-    return normmod(chunks_to_digits(cc))
+    d = chunks_to_digits(cc)
+    return normmod(d) if canonical else d

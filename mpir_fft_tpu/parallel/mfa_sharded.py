@@ -3,11 +3,13 @@
 The reference is single-threaded C; its MFA cache blocking (README:74-91) is
 the axis this module scales over ICI (SURVEY.md section 2 parallelism
 checklist): shard the *column* axis j1 of the (n2, n1, L) coefficient
-tensor across devices.  Column FFTs batch over j1 -> device-local; the
-column<->row boundary is one logical transpose, expressed as a sharding
-constraint so XLA SPMD inserts the ICI all-to-all; pointwise products stay
-local.  No hand-written collectives: pjit + sharding annotations generate
-them (scaling-book recipe)."""
+tensor across devices during the column pass, and the row axis n2 during the
+row pass.  Column FFTs batch over j1 -> device-local; the column<->row
+boundary is one logical transpose, expressed as a sharding constraint so XLA
+SPMD inserts the ICI all-to-all; pointwise products stay local.  No
+hand-written collectives: pjit + sharding annotations generate them
+(scaling-book recipe).  The same constrainer serves every MFA-family driver,
+including the flagship's sqrt2 composite (both halves)."""
 
 from __future__ import annotations
 
@@ -17,52 +19,62 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from mpir_fft_tpu.models.mul import mpn_mul_mfa, out_len_digits
+from mpir_fft_tpu.models.mul import (
+    mpn_mul_flagship,
+    mpn_mul_mfa,
+    mpn_mul_mfa_trunc,
+    out_len_digits,
+)
 from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
 from mpir_fft_tpu.utils.params import cdiv, plan_for_depth
 
 
 def make_constrainer(mesh: Mesh, axis: str = "cols"):
-    """Sharding constraints for mpn_mul_mfa: during the column pass the n1
-    axis is sharded (each device owns a block of columns); during the row
-    pass the n2 axis is sharded.  XLA inserts the all-to-all at the switch."""
+    """Sharding constraints for the MFA drivers: during the column pass the
+    n1 axis is sharded (each device owns a block of columns); during the row
+    pass the n2 axis is sharded.  XLA inserts the all-to-all at the switch.
+    Arrays are [..., n2, n1, L]."""
 
     def constrain(x, stage):
-        if stage == "cols":      # [..., n2, n1, L]: shard columns j1
+        if stage == "cols":      # shard columns j1 (axis -2)
             spec = P(*([None] * (x.ndim - 3)), None, axis, None)
-        else:                    # rows: shard n2
+        else:                    # rows: shard n2 (axis -3)
             spec = P(*([None] * (x.ndim - 3)), axis, None, None)
         return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
     return constrain
 
 
-def sharded_mul_fn(mesh: Mesh, plan):
-    """Jitted multiply with column-sharded MFA over `mesh` (axis 'cols')."""
+def sharded_mul_fn(mesh: Mesh, plan, driver: str = "mfa"):
+    """Jitted multiply with column/row-sharded MFA over `mesh` (axis 'cols')."""
     constrain = make_constrainer(mesh)
+    base = {
+        "mfa": mpn_mul_mfa,
+        "mfa_trunc": mpn_mul_mfa_trunc,
+        "flagship": mpn_mul_flagship,
+    }[driver]
 
     def fn(a, b):
-        return mpn_mul_mfa(a, b, plan, constrain=constrain)
+        return base(a, b, plan, constrain=constrain)
 
     repl = NamedSharding(mesh, P(None))
     return jax.jit(fn, in_shardings=(repl, repl), out_shardings=repl)
 
 
-def sharded_mul_step(mesh: Mesh, bits: int = 1 << 14) -> None:
+def sharded_mul_step(mesh: Mesh, bits: int = 1 << 14, driver: str = "mfa") -> None:
     """One full sharded multiply on tiny shapes, verified bit-exactly --
     the dryrun_multichip payload."""
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     # need n1 (columns) divisible by the mesh: depth+1 >= 2*log2(ndev)-ish
     depth = max(5, 2 * max(1, (ndev - 1).bit_length()))
-    plan = plan_for_depth(bits, bits, depth)
-    n1, n2 = plan.n1, plan.n2
-    assert n1 % ndev == 0, (n1, ndev)
+    plan = plan_for_depth(bits, bits, depth, sqrt2=(driver == "flagship"))
+    assert plan.n1 % ndev == 0, (plan.n1, ndev)
 
     rng = np.random.default_rng(0)
     a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
     b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
     da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
     db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
-    out = sharded_mul_fn(mesh, plan)(da, db)
+    out = sharded_mul_fn(mesh, plan, driver)(da, db)
     got = int_from_digits(np.asarray(out))
-    assert got == a * b, "sharded MFA multiply mismatch"
+    assert got == a * b, f"sharded {driver} multiply mismatch"
