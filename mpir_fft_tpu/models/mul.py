@@ -197,8 +197,15 @@ def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True
     W, n1 = plan.W, plan.n1
     t = plan.trunc_mfa
     ia, ib = _split2(a, b, plan)
-    fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)
-    fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t, con=constrain)
+    if constrain is None and ia.shape == ib.shape:
+        # one transform over both stacked operands: halves the traced program
+        # (the 10^8-bit graph otherwise OOMs the compiler) and doubles the
+        # fused kernels' batch
+        fab = mfa_fft_trunc_sqrt2(jnp.stack([ia, ib]), plan.w, W, n1, t)
+        fa, fb = fab[0], fab[1]
+    else:
+        fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)
+        fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t, con=constrain)
     prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
     prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
     c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)

@@ -1,0 +1,149 @@
+"""Pallas VMEM fusion of whole transform passes.
+
+XLA compiles each FFT stage into many small HBM-to-HBM kernels (measured:
+~240 bytes touched per byte of coefficient data per transform on v5e); the
+reference instead leans on cache residency via the MFA (README:74-91).  The
+TPU-native equivalent of "fits in cache" is "fits in VMEM": this module runs
+an ENTIRE traced transform (all log2(C) stages, twiddles, carries) inside
+one Pallas kernel, so the coefficient block makes exactly one HBM round
+trip per pass.
+
+Requirements on the traced function: all exponent tables must be built from
+iota (see transforms._iota_exps / revbin_iota) -- Pallas rejects captured
+constant arrays.  All transform-family functions in this package satisfy
+that; the sqrt2 top layer (host-static half-bit parity logic) stays outside
+the kernels by design (it is a single O(C) layer).
+
+Control: config.use_pallas() -- env MPIR_FFT_PALLAS=1/0/auto.  In auto mode
+fusion activates on TPU backends only.  `interpret=True` is used on CPU for
+tests."""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# scoped-VMEM budget per kernel instance.  Mosaic stack-allocates the
+# kernel's live temporaries: an unrolled log2(C)-stage FFT keeps ~20-30
+# block-sized intermediates alive, and the lane dim pads to 128 -- both are
+# modeled below (measured: a (32, 64, 64->128) block wanted 24.5M scoped).
+VMEM_SCOPED_LIMIT = 12 * 2**20
+TEMP_FUDGE = 28
+
+
+def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
+    Lpad = -(-L // 128) * 128
+    Cpad = -(-C // 8) * 8
+    return Cpad * Lpad * itemsize
+
+
+@functools.lru_cache(maxsize=1)
+def _mode() -> str:
+    return os.environ.get("MPIR_FFT_PALLAS", "auto").lower()
+
+
+def use_pallas() -> bool:
+    m = _mode()
+    if m in ("1", "on", "true"):
+        return True
+    if m in ("0", "off", "false"):
+        return False
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat not in ("cpu", "gpu")
+
+
+def _interpret() -> bool:
+    try:
+        return jax.devices()[0].platform == "cpu"
+    except Exception:
+        return True
+
+
+def fits_vmem(*arrays) -> bool:
+    total = sum(a.size * a.dtype.itemsize for a in arrays)
+    return TEMP_FUDGE * total <= VMEM_SCOPED_LIMIT
+
+
+def fused(fn, x):
+    """Run fn(x) -> y entirely inside one Pallas VMEM kernel."""
+    out_aval = jax.eval_shape(fn, x)
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = fn(x_ref[:])
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(out_aval.shape, out_aval.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x)
+
+
+def fused_batched(fn, x, out_shape=None):
+    """Run fn over a 3-D array (B, C, L), gridding the batch axis into the
+    largest VMEM-fitting blocks.  fn must be batch-elementwise (independent
+    transforms per batch row) and shape-preserving unless out_shape given."""
+    B, C, L = x.shape
+    per_row = TEMP_FUDGE * _padded_row_bytes(C, L, x.dtype.itemsize)
+    block = max(1, min(B, VMEM_SCOPED_LIMIT // per_row))
+    while B % block:
+        block -= 1
+    if out_shape is None:
+        out_shape = x.shape
+
+    def kernel(x_ref, o_ref):
+        o_ref[:] = fn(x_ref[:])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        in_specs=[pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block,) + tuple(out_shape[1:]),
+                               lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x)
+
+
+def fused_batched_idx(fn, x):
+    """Like fused_batched, but fn(block, start) also receives the absolute
+    start index of its batch block (traced scalar) -- for per-batch-row
+    twiddle tables (MFA cross exponents)."""
+    B, C, L = x.shape
+    per_row = TEMP_FUDGE * _padded_row_bytes(C, L, x.dtype.itemsize)
+    block = max(1, min(B, VMEM_SCOPED_LIMIT // per_row))
+    while B % block:
+        block -= 1
+
+    def kernel(x_ref, o_ref):
+        start = pl.program_id(0) * block
+        o_ref[:] = fn(x_ref[:], start)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // block,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x)
+
+
+def maybe_fused(fn, x):
+    """fused(fn, x) when enabled and the whole array fits VMEM, else fn(x)."""
+    if use_pallas() and fits_vmem(x, x):
+        return fused(fn, x)
+    return fn(x)

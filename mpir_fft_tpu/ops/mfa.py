@@ -32,40 +32,88 @@ import numpy as np
 
 import jax.numpy as jnp
 
+import jax
+
+from .fused import fused_batched, fused_batched_idx, use_pallas
 from .limb import carry_pass, div_2expmod, mul_2expmod
 from .sqrt2 import twiddle_half
-from .transforms import fft_radix2, ifft_radix2, revbin_vec
-from .truncate import fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
+from .transforms import fft_radix2, ifft_radix2, revbin_iota
+from .truncate import _cat, fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
 
 
-def _cross_exps(n1: int, n2: int, w: int, W: int) -> np.ndarray:
+def _cat3(*parts):
+    """Concat along axis -3, dropping zero-length parts (Mosaic rejects
+    empty vectors at trunc2 == n2 edges)."""
+    parts = [p for p in parts if p.shape[-3] > 0]
+    if len(parts) == 1:
+        return parts[0]
+    return jnp.concatenate(parts, axis=-3)
+
+
+def _cross_exps(n1: int, n2: int, w: int, W: int, j1_start=0) -> jax.Array:
     """exps[j1, j2p] = w * revbin(j2p, log n2) * j1: the z^(k2*j1) cross
-    twiddle, indexed by column j1 and column-output position j2p."""
-    rb = revbin_vec(n2)                       # k2 at output position j2p
-    j1 = np.arange(n1, dtype=np.int64)[:, None]
-    return (w * rb[None, :] * j1) % (2 * W)
+    twiddle, indexed by column j1 (offset by j1_start, possibly traced, for
+    blocked kernels) and column-output position j2p.  Built traced (iota +
+    bit ops) so fused Pallas kernels see ops, not captured constants."""
+    rb = revbin_iota(n2)                      # k2 at output position j2p
+    j1 = j1_start + jax.lax.broadcasted_iota(jnp.int32, (n1, 1), 0)
+    return (jnp.int32(w) * rb[None, :] * j1) % (2 * W)
+
+
+def _fusable(x, con) -> bool:
+    """Pallas-fuse a pass only when unsharded (con is None) and 3-D."""
+    return con is None and x.ndim == 3 and use_pallas()
+
+
+def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
+    """Column pass: fcol(block, pe) over xc [..., n1, n2, L], whole pass
+    fused into VMEM-resident Pallas kernels when possible (one HBM round
+    trip for all log2(n2) stages instead of one per stage-op).  Leading dims
+    (e.g. the two stacked operands) flatten into the kernel batch; the
+    column index inside the flattened batch is start & (n1-1)."""
+    n1 = xc.shape[-3]
+    if con is None and use_pallas() and xc.ndim in (3, 4):
+        flat = xc.reshape((-1,) + xc.shape[-2:])
+        out = fused_batched_idx(
+            lambda blk, st: fcol(
+                blk, _cross_exps(blk.shape[0], n2, w, W, st & (n1 - 1))
+            ),
+            flat,
+        )
+        return out.reshape(xc.shape)
+    return fcol(xc, _cross_exps(n1, n2, w, W))
+
+
+def _run_rows(xr, con, frow):
+    """Row pass: frow over xr [..., B, n1, L], fused when possible (leading
+    dims flatten into the kernel batch; rows carry no index-dependent
+    tables)."""
+    if con is None and use_pallas() and xr.ndim in (3, 4):
+        flat = xr.reshape((-1,) + xr.shape[-2:])
+        return fused_batched(frow, flat).reshape(xr.shape)
+    return frow(xr)
 
 
 def fft_radix2_mfa(x, w: int, W: int, n1: int, n2: int, con=None):
     """Forward 2-D MFA: x [..., n2, n1, L] -> same shape, transformed.
     `con(x, stage)` optionally applies sharding constraints at the
     column/row boundaries (stage in {"cols", "rows"})."""
-    con = con or (lambda x, s: x)
-    pe = _cross_exps(n1, n2, w, W)
-    xc = jnp.swapaxes(con(x, "cols"), -3, -2) # [..., n1, n2, L]: batch columns
-    xc = fft_radix2(xc, w * n1, W, post_exps=pe)
-    xr = con(jnp.swapaxes(xc, -3, -2), "rows")  # [..., n2, n1, L]: batch rows
-    return fft_radix2(xr, w * n2, W)
+    cc = con or (lambda x, s: x)
+    xc = jnp.swapaxes(cc(x, "cols"), -3, -2)  # [..., n1, n2, L]: batch columns
+    xc = _run_cols(xc, con, lambda b, pe: fft_radix2(b, w * n1, W, post_exps=pe),
+                   n2, w, W)
+    xr = cc(jnp.swapaxes(xc, -3, -2), "rows")   # [..., n2, n1, L]: batch rows
+    return _run_rows(xr, con, lambda b: fft_radix2(b, w * n2, W))
 
 
 def ifft_radix2_mfa(x, w: int, W: int, n1: int, n2: int, con=None):
     """Inverse 2-D MFA (times n1*n2): row IFFTs, then column IFFTs with the
     cross twiddles divided out in their first stage."""
-    con = con or (lambda x, s: x)
-    pe = _cross_exps(n1, n2, w, W)
-    xr = ifft_radix2(con(x, "rows"), w * n2, W)   # [..., n2, n1, L]
-    xc = jnp.swapaxes(con(xr, "cols"), -3, -2)    # [..., n1, n2, L]
-    xc = ifft_radix2(xc, w * n1, W, pre_exps=pe)
+    cc = con or (lambda x, s: x)
+    xr = _run_rows(cc(x, "rows"), con, lambda b: ifft_radix2(b, w * n2, W))
+    xc = jnp.swapaxes(cc(xr, "cols"), -3, -2)     # [..., n1, n2, L]
+    xc = _run_cols(xc, con, lambda b, pe: ifft_radix2(b, w * n1, W, pre_exps=pe),
+                   n2, w, W)
     return jnp.swapaxes(xc, -3, -2)
 
 
@@ -80,14 +128,16 @@ def mfa_fft_trunc(x, w: int, W: int, n1: int, n2: int, trunc2: int,
     With no_zero_tail, input rows >= trunc2 are arbitrary (truncate1
     semantics); otherwise they must be zero."""
     assert 1 <= trunc2 <= n2
-    con = con or (lambda x, s: x)
-    pe = _cross_exps(n1, n2, w, W)
+    cc = con or (lambda x, s: x)
     f = fft_trunc1 if no_zero_tail else fft_trunc
-    xc = jnp.swapaxes(con(x, "cols"), -3, -2)
-    xc = f(xc, w * n1, W, trunc2, pe)
-    xr = con(jnp.swapaxes(xc, -3, -2), "rows")
-    head = fft_radix2(xr[..., :trunc2, :, :], w * n2, W)
-    return jnp.concatenate([head, xr[..., trunc2:, :, :]], axis=-3)
+    xc = jnp.swapaxes(cc(x, "cols"), -3, -2)
+    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe), n2, w, W)
+    xr = cc(jnp.swapaxes(xc, -3, -2), "rows")
+    head = _run_rows(xr[..., :trunc2, :, :], con,
+                     lambda b: fft_radix2(b, w * n2, W))
+    if trunc2 == n2:
+        return head
+    return _cat3(head, xr[..., trunc2:, :, :])
 
 
 def mfa_ifft_trunc(v, w: int, W: int, n1: int, n2: int, trunc2: int,
@@ -97,19 +147,22 @@ def mfa_ifft_trunc(v, w: int, W: int, n1: int, n2: int, trunc2: int,
     no_zero_tail flavor: input rows >= trunc2 hold UNSCALED coefficients
     (cell (j2, j1) = x_{j2 n1 + j1}), mirroring truncate.ifft_trunc1."""
     assert 1 <= trunc2 <= n2
-    con = con or (lambda x, s: x)
-    pe = _cross_exps(n1, n2, w, W)
-    v = con(v, "rows")
-    head = ifft_radix2(v[..., :trunc2, :, :], w * n2, W)
-    tail = v[..., trunc2:, :, :]
-    if no_zero_tail:
-        # row IFFT scaled the head by n1; scale the known coefficients to
-        # match so the column ifft_trunc1 contract sees one uniform factor
-        tail = mul_2expmod(tail, n1.bit_length() - 1, W)
-    xr = jnp.concatenate([head, tail], axis=-3)
+    cc = con or (lambda x, s: x)
+    v = cc(v, "rows")
+    head = _run_rows(v[..., :trunc2, :, :], con,
+                     lambda b: ifft_radix2(b, w * n2, W))
+    if trunc2 == n2:
+        xr = head
+    else:
+        tail = v[..., trunc2:, :, :]
+        if no_zero_tail:
+            # row IFFT scaled the head by n1; scale the known coefficients to
+            # match so the column ifft_trunc1 contract sees one uniform factor
+            tail = mul_2expmod(tail, n1.bit_length() - 1, W)
+        xr = _cat3(head, tail)
     f = ifft_trunc1 if no_zero_tail else ifft_trunc
-    xc = jnp.swapaxes(con(xr, "cols"), -3, -2)
-    xc = f(xc, w * n1, W, trunc2, pe)
+    xc = jnp.swapaxes(cc(xr, "cols"), -3, -2)
+    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe), n2, w, W)
     return jnp.swapaxes(xc, -3, -2)
 
 
@@ -145,16 +198,16 @@ def mfa_fft_trunc_sqrt2(x, w: int, W: int, n1: int, trunc: int, con=None):
     if trunc <= h:
         left = mfa_fft_trunc(_as2d(x[..., :h, :], n2, n1), w, W, n1, n2,
                              trunc // n1, con=con)
-        return jnp.concatenate([_flat(left), x[..., h:, :]], axis=-2)
+        return _cat(_flat(left), x[..., h:, :])
     k = trunc - h
     a, b = x[..., :h, :], x[..., h:, :]
-    s = jnp.concatenate([carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :]], axis=-2)
-    d = jnp.concatenate([a[..., :k, :] - b[..., :k, :], a[..., k:, :]], axis=-2)
+    s = _cat(carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :])
+    d = _cat(a[..., :k, :] - b[..., :k, :], a[..., k:, :])
     t = twiddle_half(d, np.arange(h, dtype=np.int64) * w, W)
     left = fft_radix2_mfa(_as2d(s, n2, n1), w, W, n1, n2, con=con)
     right = mfa_fft_trunc(_as2d(t, n2, n1), w, W, n1, n2, k // n1,
                           no_zero_tail=True, con=con)
-    return jnp.concatenate([_flat(left), _flat(right)], axis=-2)
+    return _cat(_flat(left), _flat(right))
 
 
 def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None):
@@ -171,7 +224,7 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None):
         left = mfa_ifft_trunc(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
                               trunc // n1, con=con)
         left = _flat(left)
-        return jnp.concatenate([carry_pass(left + left), v[..., h:, :]], axis=-2)
+        return _cat(carry_pass(left + left), v[..., h:, :])
     k = trunc - h
     e2 = np.arange(h, dtype=np.int64) * w
     sL = _flat(ifft_radix2_mfa(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2, con=con))
@@ -179,11 +232,11 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None):
     # (ref FFT_twiddle reconstruction of second-half rows, mul_fft.c:2680-2691)
     tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
     tail = twiddle_half(tail, e2[k:], W)
-    vr = jnp.concatenate([v[..., h:trunc, :], tail], axis=-2)
+    vr = _cat(v[..., h:trunc, :], tail)
     oR = _flat(mfa_ifft_trunc(_as2d(vr, n2, n1), w, W, n1, n2, k // n1,
                               no_zero_tail=True, con=con))
     u = twiddle_half(oR[..., :k, :], -e2[:k], W)
     xa = carry_pass(sL[..., :k, :] + u)
     xb = carry_pass(sL[..., :k, :] - u)
     mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
-    return jnp.concatenate([xa, mid, xb, v[..., trunc:, :]], axis=-2)
+    return _cat(xa, mid, xb, v[..., trunc:, :])

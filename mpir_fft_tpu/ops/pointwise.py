@@ -41,9 +41,9 @@ def chunks_to_digits(c):
         cc = c >> CHUNK_BITS
         cr = c - (cc << CHUNK_BITS)
         c = cr + jnp.concatenate([-cc[..., -1:], cc[..., :-1]], axis=-1)
-    ce = c[..., 0::2]
-    co = c[..., 1::2]
-    return ce + (co << CHUNK_BITS)
+    # reshape-based deinterleave (strided slices lower to gathers in Mosaic)
+    r = c.reshape(c.shape[:-1] + (c.shape[-1] // 2, 2))
+    return r[..., 0] + (r[..., 1] << CHUNK_BITS)
 
 
 def negacyclic_conv_chunks(a, b):
@@ -80,6 +80,16 @@ def mulmod_base(a, b, canonical: bool = True):
     mul_fft.c:3626-3654; the redundant representation has no such need)."""
     M = 2 * a.shape[-1]
     assert M <= 4096, "chunk accumulation would overflow int32; use FFT recursion"
+    from .fused import use_pallas
+
+    if use_pallas() and a.shape == b.shape and a.ndim >= 2:
+        from .pointwise_fused import mulmod_base_fused
+
+        L = a.shape[-1]
+        d = mulmod_base_fused(
+            a.reshape(-1, L), b.reshape(-1, L)
+        ).reshape(a.shape)
+        return normmod(d) if canonical else d
     ca = digits_to_chunks(a)
     cb = digits_to_chunks(b)
     cc = negacyclic_conv_chunks(ca, cb)

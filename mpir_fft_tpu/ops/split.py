@@ -24,8 +24,25 @@ def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
     """Split digit vector x [..., Lx] into (..., num_coeffs, L) ring elements,
     coefficient j = bits [j*bits, (j+1)*bits) of x, zero-padded to L digits.
 
-    Returns redundant-free canonical digits (each in [0, 2^16))."""
+    Returns redundant-free canonical digits (each in [0, 2^16)).
+
+    Digit-aligned strides (16 | bits) take a pure pad+reshape path -- no
+    gather (TPU gathers are slow; the planner aligns bits1 for exactly this
+    reason).  The general path mirrors the reference's running shift_bits +
+    mpn_rshift loop (mul_fft.c:115-170) as one vectorized window gather."""
     Lx = x.shape[-1]
+    if bits % DIGIT_BITS == 0:
+        d = bits // DIGIT_BITS
+        need = num_coeffs * d
+        pad = need - Lx
+        if pad > 0:
+            x = jnp.concatenate(
+                [x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)], axis=-1
+            )
+        seg = x[..., :need].reshape(x.shape[:-1] + (num_coeffs, d))
+        return jnp.concatenate(
+            [seg, jnp.zeros(seg.shape[:-1] + (L - d,), x.dtype)], axis=-1
+        )
     j = np.arange(num_coeffs, dtype=np.int64)[:, None]
     i = np.arange(L, dtype=np.int64)[None, :]
     pos = j * bits + DIGIT_BITS * i
@@ -53,9 +70,34 @@ def fft_combine_bits(c, bits: int, Lout: int):
     digit vector [..., Lout]: sum_j c[j] * 2^(j*bits), carried and canonical.
 
     Requires each coefficient value < 2^(16*L) (canonical digits) and the true
-    sum < 2^(16*(Lout-1)) so the final carry dies inside the output."""
+    sum < 2^(16*(Lout-1)) so the final carry dies inside the output.
+
+    Digit-aligned strides (16 | bits) avoid the window gather: each
+    coefficient splits into ceil(L/d) d-digit segments, and segment s of
+    coefficient j lands at digit (j+s)*d -- the sum becomes a handful of
+    shifted adds of reshaped views (the reference's mpn_lshift-into-temp +
+    mpn_add_n loop, mul_fft.c:207-267, without the temp or the shift)."""
     C, L = c.shape[-2], c.shape[-1]
     W = DIGIT_BITS * L
+    if bits % DIGIT_BITS == 0:
+        d = bits // DIGIT_BITS
+        nseg = -(-L // d)
+        segL = nseg * d
+        cpad = jnp.concatenate(
+            [c, jnp.zeros(c.shape[:-1] + (segL - L,), c.dtype)], axis=-1
+        ) if segL > L else c
+        lead = c.shape[:-2]
+        out = jnp.zeros(lead + (Lout,), c.dtype)
+        flatlen = C * d
+        for s in range(nseg):
+            seg = cpad[..., s * d : (s + 1) * d].reshape(lead + (flatlen,))
+            # segment s of coeff j lands at digits [(j+s)*d, (j+s+1)*d)
+            start, stop = s * d, s * d + flatlen
+            if start >= Lout:
+                continue
+            take = min(stop, Lout) - start
+            out = out.at[..., start : start + take].add(seg[..., :take])
+        return canonicalize_plain(out)
     K = W // bits + 2
     d = np.arange(Lout, dtype=np.int64)[:, None]
     k = np.arange(K, dtype=np.int64)[None, :]

@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from .butterfly import butterfly_inv
 from .limb import carry_pass, div_2expmod, shift_mod
 from .transforms import _as_col, fft_radix2, ifft_radix2
-from .truncate import fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
+from .truncate import _cat, fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
 
 
 def twiddle_half(x, e2, W: int):
@@ -92,7 +92,7 @@ def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     t = twiddle_half(a - b, _top_exps(h, w), W)
     left = fft_radix2(s, w, W, post_exps=None if post_exps is None else post_exps[:h])
     right = fft_radix2(t, w, W, post_exps=None if post_exps is None else post_exps[h:])
-    return jnp.concatenate([left, right], axis=-2)
+    return _cat(left, right)
 
 
 def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
@@ -107,7 +107,7 @@ def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
     tR = ifft_radix2(x[..., h:, :], w, W,
                      pre_exps=None if pre_exps is None else pre_exps[h:])
     u = twiddle_half(tR, -_top_exps(h, w), W)
-    return jnp.concatenate([carry_pass(sL + u), carry_pass(sL - u)], axis=-2)
+    return _cat(carry_pass(sL + u), carry_pass(sL - u))
 
 
 # ---------------------------------------------------------------------------
@@ -126,15 +126,15 @@ def fft_trunc_sqrt2(x, w: int, W: int, trunc: int):
     h = C // 2
     if trunc <= h:
         left = fft_trunc(x[..., :h, :], w, W, trunc)
-        return jnp.concatenate([left, x[..., h:, :]], axis=-2)
+        return _cat(left, x[..., h:, :])
     k = trunc - h
     a, b = x[..., :h, :], x[..., h:, :]
-    s = jnp.concatenate([carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :]], axis=-2)
-    d = jnp.concatenate([a[..., :k, :] - b[..., :k, :], a[..., k:, :]], axis=-2)
+    s = _cat(carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :])
+    d = _cat(a[..., :k, :] - b[..., :k, :], a[..., k:, :])
     t = twiddle_half(d, _top_exps(h, w), W)
     left = fft_radix2(s, w, W)
     right = fft_trunc1(t, w, W, k)
-    return jnp.concatenate([left, right], axis=-2)
+    return _cat(left, right)
 
 
 def ifft_trunc_sqrt2(v, w: int, W: int, trunc: int):
@@ -150,17 +150,17 @@ def ifft_trunc_sqrt2(v, w: int, W: int, trunc: int):
     h = C // 2
     if trunc <= h:
         left = ifft_trunc(v[..., :h, :], w, W, trunc)
-        return jnp.concatenate([carry_pass(left + left), v[..., h:, :]], axis=-2)
+        return _cat(carry_pass(left + left), v[..., h:, :])
     k = trunc - h
     sL = ifft_radix2(v[..., :h, :], w, W)
     # missing right inputs for j >= k: t_j = s_j * q^j, unscaled
     # (ref reconstruction via FFT_twiddle(_sqrt2), mul_fft.c:1821-1830)
     tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
     tail = twiddle_half(tail, _top_exps(h, w)[k:], W)
-    vr = jnp.concatenate([v[..., h:trunc, :], tail], axis=-2)
+    vr = _cat(v[..., h:trunc, :], tail)
     oR = ifft_trunc1(vr, w, W, k)
     u = twiddle_half(oR[..., :k, :], -_top_exps(h, w)[:k], W)
     xa = carry_pass(sL[..., :k, :] + u)
     xb = carry_pass(sL[..., :k, :] - u)
     mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
-    return jnp.concatenate([xa, mid, xb, v[..., trunc:, :]], axis=-2)
+    return _cat(xa, mid, xb, v[..., trunc:, :])

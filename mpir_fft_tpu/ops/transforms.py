@@ -24,15 +24,36 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from .butterfly import butterfly_fwd, butterfly_inv
 from .limb import shift_mod
 
 
-def _as_col(e: np.ndarray):
-    """Shape a static exponent vector for broadcast over the digit axis."""
-    return e.astype(np.int64)[..., None]
+def _as_col(e):
+    """Shape an exponent vector for broadcast over the digit axis."""
+    if isinstance(e, np.ndarray):
+        return e.astype(np.int64)[..., None]
+    return e[..., None]
+
+
+def _iota_exps(h: int, step: int) -> jax.Array:
+    """Traced stage-exponent column (i * step for i < h) built from iota so
+    Pallas kernels see an op, not a captured constant (int32 is ample:
+    values < W < 2^31)."""
+    return jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0) * jnp.int32(step)
+
+
+def revbin_iota(C: int) -> jax.Array:
+    """Traced revbin(j, log2 C) for all j (ref mpir_revbin, mul_fft.c:52-79),
+    as bit ops on iota -- Pallas-compatible."""
+    D = C.bit_length() - 1
+    j = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)[..., 0]
+    r = jnp.zeros_like(j)
+    for b in range(D):
+        r = r | (((j >> b) & 1) << (D - 1 - b))
+    return r
 
 
 def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
@@ -45,11 +66,12 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     D = C.bit_length() - 1
     assert C == 1 << D
     if post_exps is not None:
-        post_exps = np.asarray(post_exps, np.int64)
+        if isinstance(post_exps, np.ndarray):
+            post_exps = jnp.asarray(post_exps % (2 * W), jnp.int32)
         pe_lead = post_exps.shape[:-1]
     if D == 0:
         if post_exps is not None:
-            x = shift_mod(x, jnp.asarray(post_exps % (2 * W))[..., None], W)
+            x = shift_mod(x, post_exps[..., None] % (2 * W), W)
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
@@ -59,14 +81,12 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         xr = x.reshape(lead + (blocks, 2, h, L))
         a = xr[..., 0, :, :]
         b = xr[..., 1, :, :]
-        e_t = np.arange(h, dtype=np.int64) * (w << l)   # i * w * 2^l bits
+        e_t = _iota_exps(h, w << l)                      # i * w * 2^l bits
         e_s = None
         if l == D - 1 and post_exps is not None:
             pe = post_exps.reshape(pe_lead + (blocks, 2, h))
             e_s = _as_col(pe[..., 0, :])                 # s lands at even pos
-            e_t = _as_col(pe[..., 1, :] + e_t)           # t at odd pos
-        else:
-            e_t = _as_col(e_t)
+            e_t = _as_col(pe[..., 1, :]) + e_t           # t at odd pos
         s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s)
         x = jnp.stack([s, t], axis=-3).reshape(lead + (C, L))
     return x
@@ -81,11 +101,12 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
     D = C.bit_length() - 1
     assert C == 1 << D
     if pre_exps is not None:
-        pre_exps = np.asarray(pre_exps, np.int64)
+        if isinstance(pre_exps, np.ndarray):
+            pre_exps = jnp.asarray(pre_exps % (2 * W), jnp.int32)
         pe_lead = pre_exps.shape[:-1]
     if D == 0:
         if pre_exps is not None:
-            x = shift_mod(x, jnp.asarray((-pre_exps) % (2 * W))[..., None], W)
+            x = shift_mod(x, (-pre_exps[..., None]) % (2 * W), W)
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
@@ -95,13 +116,13 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         xr = x.reshape(lead + (blocks, 2, h, L))
         s = xr[..., 0, :, :]
         t = xr[..., 1, :, :]
-        e = np.arange(h, dtype=np.int64) * (w << l)
+        e = _iota_exps(h, w << l)
         e_s = e_t = None
         if l == D - 1 and pre_exps is not None:
             pe = pre_exps.reshape(pe_lead + (blocks, 2, h))
             e_s = _as_col(pe[..., 0, :])
             e_t = _as_col(pe[..., 1, :])
-        a, b = butterfly_inv(s, t, _as_col(e), W, e_s=e_s, e_t=e_t)
+        a, b = butterfly_inv(s, t, e, W, e_s=e_s, e_t=e_t)
         x = jnp.stack([a, b], axis=-3).reshape(lead + (C, L))
     return x
 
@@ -111,7 +132,7 @@ def fft_radix2_twiddle(x, w: int, W: int, ws: int, c: int):
     transform (ref FFT_radix2_twiddle, mul_fft.c:1397-1442, with r=0, rs=1;
     leaf index r accumulates to revbin(j))."""
     C = x.shape[-2]
-    pe = (revbin_vec(C) * (ws * c)) % (2 * W)
+    pe = (revbin_iota(C) * jnp.int32(ws * c)) % (2 * W)
     return fft_radix2(x, w, W, post_exps=pe)
 
 
@@ -119,7 +140,7 @@ def ifft_radix2_twiddle(x, w: int, W: int, ws: int, c: int):
     """Inverse of fft_radix2_twiddle (times 2^D): divides position j by
     2^(ws * revbin(j) * c) then inverse-transforms (ref IFFT_radix2_twiddle)."""
     C = x.shape[-2]
-    pe = (revbin_vec(C) * (ws * c)) % (2 * W)
+    pe = (revbin_iota(C) * jnp.int32(ws * c)) % (2 * W)
     return ifft_radix2(x, w, W, pre_exps=pe)
 
 

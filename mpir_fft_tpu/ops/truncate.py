@@ -53,15 +53,21 @@ import jax.numpy as jnp
 
 from .butterfly import butterfly_fwd, butterfly_inv
 from .limb import carry_pass, div_2expmod, mul_2expmod, shift_mod
-from .transforms import _as_col, fft_radix2, ifft_radix2
+from .transforms import _as_col, _iota_exps, fft_radix2, ifft_radix2
 
 
 def _cat(*parts):
+    # drop zero-length pieces: Mosaic (Pallas TPU) rejects empty vectors,
+    # and the recursion's edge cases (trunc == h, trunc == C) produce them
+    parts = [p for p in parts if p.shape[-2] > 0]
+    if len(parts) == 1:
+        return parts[0]
     return jnp.concatenate(parts, axis=-2)
 
 
-def _exps(h: int, w: int) -> np.ndarray:
-    return np.arange(h, dtype=np.int64) * w
+def _exps(h: int, w: int):
+    """Traced 1-D exponent vector i*w (iota, Pallas-compatible)."""
+    return _iota_exps(h, w)[..., 0]
 
 
 def _slice_pe(pe, lo, hi):
@@ -74,8 +80,9 @@ def _apply_pe(x, pe, W, inverse=False):
     """Multiply (or divide) position j by 2^pe[j] -- used at recursion leaves."""
     if pe is None:
         return x
-    e = np.mod(-pe if inverse else pe, 2 * W)
-    return shift_mod(x, jnp.asarray(e)[..., None], W)
+    pe = jnp.asarray(pe)
+    e = (-pe if inverse else pe) % (2 * W)
+    return shift_mod(x, e[..., None], W)
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +184,12 @@ def ifft_trunc1(v, w: int, W: int, trunc: int, pre_exps: np.ndarray | None = Non
         # tail of BOTH halves known unscaled: s_j = x_j + x_{j+h} for
         # j in [trunc, h); recurse left; recover m*x_j = 2*(h s_j) - m*x_{j+h}
         # (ref back-substitution loop, mul_fft.c:1573-1581)
-        s_tail = carry_pass(v[..., trunc:h, :] + v[..., h + trunc : C, :][..., : h - trunc, :])
-        vl = _cat(_apply_pe(v[..., :trunc, :], _slice_pe(pre_exps, 0, trunc), W, inverse=True), s_tail)
+        head = _apply_pe(v[..., :trunc, :], _slice_pe(pre_exps, 0, trunc), W, inverse=True)
+        if trunc < h:  # Mosaic rejects even dead zero-size slices
+            s_tail = carry_pass(v[..., trunc:h, :] + v[..., h + trunc : C, :][..., : h - trunc, :])
+            vl = _cat(head, s_tail)
+        else:
+            vl = head
         oL = ifft_trunc1(vl, 2 * w, W, trunc)
         two_hs = carry_pass(oL[..., :trunc, :] + oL[..., :trunc, :])
         mxh = mul_2expmod(v[..., h : h + trunc, :], lgC, W)

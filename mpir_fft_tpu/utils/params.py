@@ -99,6 +99,11 @@ def plan_for_depth(bits_a: int, bits_b: int, depth: int, sqrt2: bool = False) ->
         W = cdiv(2 * bits1 + lg, lcm) * lcm
         w = W // n
         bits1_max = (W - lg) // 2
+        # digit-align the coefficient stride so split/combine are pure
+        # reshapes (no TPU gathers); costs < 16 of the ~W/2 available bits
+        aligned = (bits1_max // DIGIT_BITS) * DIGIT_BITS
+        if aligned >= DIGIT_BITS:
+            bits1_max = aligned
         j1, j2 = cdiv(bits_a, bits1_max), cdiv(bits_b, bits1_max)
         if j1 + j2 - 1 <= m:
             return validate(
