@@ -56,11 +56,19 @@ def main():
     fn = mulmod._jitted_driver(driver, plan)
 
     # chained step: reuse the low digits of the product as the next operand
-    # (canonical digits in, canonical digits out -> same shapes, no recompile)
-    @jax.jit
-    def step(prev, db):
-        out = fn(prev, db)
-        return out[..., :L]
+    # (canonical digits in, canonical digits out -> same shapes, no recompile).
+    # staged drivers must not be re-wrapped in one jit (it would rebuild the
+    # monolithic program the staging exists to avoid)
+    from mpir_fft_tpu.models.mul import flagship_is_staged
+
+    if driver == "flagship" and flagship_is_staged(plan):
+        def step(prev, db):
+            return fn(prev, db)[..., :L]
+    else:
+        @jax.jit
+        def step(prev, db):
+            out = fn(prev, db)
+            return out[..., :L]
 
     out = fn(da, db)
     out.block_until_ready()              # compile + warm

@@ -213,8 +213,69 @@ def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True
 
 
 # ---------------------------------------------------------------------------
-# Host convenience API
+# Staged execution: for huge plans one monolithic program exceeds the TPU
+# compiler's memory; compile split+forward / pointwise / inverse+combine as
+# separate programs (a few extra dispatches, irrelevant at these sizes).
 # ---------------------------------------------------------------------------
+
+# above this many coefficient int32 elements, compile the flagship in stages
+_STAGED_THRESHOLD_ELEMS = 1 << 24
+
+
+def flagship_is_staged(plan: MulPlan) -> bool:
+    return plan.conv_len * (plan.W // DIGIT_BITS) > _STAGED_THRESHOLD_ELEMS
+
+
+# rows per pointwise/normalize chunk at the largest sizes: bounds the HBM
+# working set of the self-recursive mulmod (whose split/transform temps run
+# ~40x the row bytes)
+_PW_CHUNK_BYTES = 128 << 20
+
+
+@functools.lru_cache(maxsize=16)
+def _staged_flagship(plan: MulPlan):
+    ring = Ring(plan.n, plan.w)
+    W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+
+    @jax.jit
+    def fwd(d):
+        ia = fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+        return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)[..., :t, :]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pw_chunk(fa, fb):
+        return _pointwise(fa, fb, W, True)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def norm_chunk(c):
+        return normmod(div_2expmod(c, plan.lg_conv, W))
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def inv_transform(prod):
+        pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
+        c = mfa_ifft_trunc_sqrt2(
+            jnp.concatenate([prod, pad], axis=-2), plan.w, W, n1, t)
+        return c[..., :t, :]
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def combine(c):
+        return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+
+    rows = max(256, _PW_CHUNK_BYTES // (4 * ring.L))
+    rows = min(rows, t)
+
+    def chunked(fn, *xs):
+        outs = [fn(*(x[i : i + rows] for x in xs)) for i in range(0, t, rows)]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+
+    def run(da, db):
+        # one operand at a time keeps peak HBM to input + its transform;
+        # pointwise and normalization stream over row chunks
+        prod = chunked(pw_chunk, fwd(da), fwd(db))
+        return combine(chunked(norm_chunk, inv_transform(prod)))
+
+    return run
+
 
 _SMALL_THRESHOLD_BITS = 1 << 14
 
@@ -233,6 +294,8 @@ DRIVERS = {
 def _jitted_driver(kind: str, plan: MulPlan):
     fn, needs_sqrt2 = DRIVERS[kind]
     assert plan.sqrt2 == needs_sqrt2, (kind, plan)
+    if kind == "flagship" and flagship_is_staged(plan):
+        return _staged_flagship(plan)
     return jax.jit(functools.partial(fn, plan=plan))
 
 

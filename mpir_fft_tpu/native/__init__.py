@@ -83,6 +83,20 @@ def bytes_from_digits(d: np.ndarray) -> bytes:
     return out.raw
 
 
+def gmp_mul(a: bytes, b: bytes) -> bytes | None:
+    """Exact product of two little-endian magnitude byte buffers via GMP's
+    assembly mpn_mul -- the fast host oracle for verifying device products
+    (CPython's multiply takes ~1.5h at 10^9 bits; this takes ~20s).
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "gmp_mul_bytes"):
+        return None
+    lib.gmp_mul_bytes.restype = ctypes.c_int
+    out = ctypes.create_string_buffer(len(a) + len(b))
+    rc = lib.gmp_mul_bytes(a, len(a), b, len(b), out)
+    return out.raw if rc == 0 else None
+
+
 def gmp_baseline(bits: int, reps: int = 3) -> dict | None:
     """Run the GMP mpn_mul timing harness; None if it can't build/run
     (no toolchain or no libgmp)."""

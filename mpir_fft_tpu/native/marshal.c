@@ -13,6 +13,7 @@
 
 #include <stddef.h>
 #include <stdint.h>
+#include <stdlib.h>
 #include <string.h>
 
 /* little-endian byte buffer -> int32 digit planes (base 2^16).
@@ -86,5 +87,31 @@ int digits_cmp(const int32_t *a, size_t La, const int32_t *b, size_t Lb) {
     int32_t bv = i < Lb ? b[i] : 0;
     if (av != bv) return av < bv ? -1 : 1;
   }
+  return 0;
+}
+
+/* Exact big-int multiply via GMP's assembly mpn_mul (the host oracle for
+ * verifying device products at sizes where CPython's multiply is too slow;
+ * plays the role of the reference's mpz oracle layer, mul_fft.c:3677-3775).
+ * Little-endian byte buffers; returns 0 on success. */
+typedef unsigned long mf_limb_t;
+extern mf_limb_t __gmpn_mul(mf_limb_t *, const mf_limb_t *, long,
+                            const mf_limb_t *, long);
+
+int gmp_mul_bytes(const uint8_t *a, size_t abytes, const uint8_t *b,
+                  size_t bbytes, uint8_t *out /* abytes+bbytes */) {
+  size_t al = (abytes + 7) / 8, bl = (bbytes + 7) / 8;
+  mf_limb_t *la = (mf_limb_t *)calloc(al ? al : 1, 8);
+  mf_limb_t *lb = (mf_limb_t *)calloc(bl ? bl : 1, 8);
+  mf_limb_t *lr = (mf_limb_t *)calloc(al + bl, 8);
+  if (!la || !lb || !lr) return -1;
+  memcpy(la, a, abytes);
+  memcpy(lb, b, bbytes);
+  if (al >= bl)
+    __gmpn_mul(lr, la, (long)al, lb, (long)bl);
+  else
+    __gmpn_mul(lr, lb, (long)bl, la, (long)al);
+  memcpy(out, lr, abytes + bbytes);
+  free(la); free(lb); free(lr);
   return 0;
 }

@@ -34,6 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 # modeled below (measured: a (32, 64, 64->128) block wanted 24.5M scoped).
 VMEM_SCOPED_LIMIT = 12 * 2**20
 TEMP_FUDGE = 28
+# Mosaic compile memory explodes on unrolled multi-stage kernels with wide
+# digit vectors (L=1024 SIGKILLed the remote compiler); cap the fused
+# transform path by digit width until a digit-split kernel layout lands
+MAX_FUSED_L = 256
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:

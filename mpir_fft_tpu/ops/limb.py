@@ -142,19 +142,25 @@ def _compose_triples(f: jax.Array, g: jax.Array) -> jax.Array:
     return out
 
 
-def _compose(elems_a, elems_b):
-    # associative_scan combine: a then b along the digit axis (axis=-2 of triples)
-    return _compose_triples(elems_a, elems_b)
-
-
 def _exact_carries(d: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Exact incoming carry per digit (for initial cin=0) and the final carry-out.
 
     Requires d + cin to stay within carry range {-1,0,1}:  d in [-2^16-1, 2^17).
-    Returns (cin[..., L], cout[...])."""
-    triples = _carry_fn_triple(d)                      # [..., L, 3]
-    pref = jax.lax.associative_scan(_compose, triples, axis=-2)  # inclusive prefix
-    cout_all = pref[..., 1]                            # prefix applied to cin=0
+    Returns (cin[..., L], cout[...]).
+
+    The prefix composition uses a manual Hillis-Steele doubling loop --
+    log2(L) whole-array steps -- NOT lax.associative_scan, whose recursive
+    construction emits O(L) slice/concat HLO ops and blew up compile memory
+    at L = 1024 (the 10^8-bit shapes)."""
+    P = _carry_fn_triple(d)                            # [..., L, 3]
+    L = d.shape[-1]
+    ident = jnp.broadcast_to(jnp.asarray([-1, 0, 1], P.dtype), P.shape)
+    k = 1
+    while k < L:
+        prev = jnp.concatenate([ident[..., :k, :], P[..., :-k, :]], axis=-2)
+        P = _compose_triples(prev, P)                  # prev window first
+        k *= 2
+    cout_all = P[..., 1]                               # prefix applied to cin=0
     cin = jnp.concatenate(
         [jnp.zeros_like(cout_all[..., :1]), cout_all[..., :-1]], axis=-1
     )

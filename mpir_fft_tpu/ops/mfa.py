@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 import jax
 
-from .fused import fused_batched, fused_batched_idx, use_pallas
+from .fused import MAX_FUSED_L, fused_batched, fused_batched_idx, use_pallas
 from .limb import carry_pass, div_2expmod, mul_2expmod
 from .sqrt2 import twiddle_half
 from .transforms import fft_radix2, ifft_radix2, revbin_iota
@@ -72,7 +72,7 @@ def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
     (e.g. the two stacked operands) flatten into the kernel batch; the
     column index inside the flattened batch is start & (n1-1)."""
     n1 = xc.shape[-3]
-    if con is None and use_pallas() and xc.ndim in (3, 4):
+    if con is None and use_pallas() and xc.ndim in (3, 4) and xc.shape[-1] <= MAX_FUSED_L:
         flat = xc.reshape((-1,) + xc.shape[-2:])
         out = fused_batched_idx(
             lambda blk, st: fcol(
@@ -88,7 +88,7 @@ def _run_rows(xr, con, frow):
     """Row pass: frow over xr [..., B, n1, L], fused when possible (leading
     dims flatten into the kernel batch; rows carry no index-dependent
     tables)."""
-    if con is None and use_pallas() and xr.ndim in (3, 4):
+    if con is None and use_pallas() and xr.ndim in (3, 4) and xr.shape[-1] <= MAX_FUSED_L:
         flat = xr.reshape((-1,) + xr.shape[-2:])
         return fused_batched(frow, flat).reshape(xr.shape)
     return frow(xr)

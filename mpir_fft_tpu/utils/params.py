@@ -131,6 +131,10 @@ def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPla
     d0 = max(2, (total.bit_length() // 2) - 2)
     best, best_cost = None, None
     variants = [False, True] if sqrt2 is None else [sqrt2]
+    # beyond ~10^8 bits the odd-w flat sqrt2 layer's working set (gathers +
+    # barrel-shift copies over the whole coefficient array) dominates HBM;
+    # penalize odd w there so the even-w (plain MFA) form wins when close
+    big = total > (1 << 28)
     for s2 in variants:
         for depth in range(max(2, d0 - 2), d0 + 3):
             try:
@@ -138,6 +142,8 @@ def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPla
             except AssertionError:
                 continue
             cost = plan_cost(plan)
+            if big and s2 and plan.w % 2 == 1:
+                cost *= 2.0
             if best_cost is None or cost < best_cost:
                 best, best_cost = plan, cost
     assert best is not None, "no valid plan found"

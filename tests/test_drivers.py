@@ -69,3 +69,17 @@ def test_plan_properties():
             assert 2 * p.bits1 + p.lg_conv <= p.W
             assert p.trunc_mfa % p.n1 == 0
             assert p.n1 * p.n2 == 2 * p.n
+
+
+def test_staged_flagship_matches_monolithic(rng, monkeypatch):
+    """The staged (multi-program) flagship path used at 10^8+ bits is
+    bit-identical to the monolithic driver."""
+    import mpir_fft_tpu.models.mul as M
+
+    monkeypatch.setattr(M, "_STAGED_THRESHOLD_ELEMS", 0)  # force staging
+    M._staged_flagship.cache_clear()
+    a, b = rand_int(rng, 20000), rand_int(rng, 11000)
+    try:
+        assert run_driver("flagship", a, b, 3) == a * b
+    finally:
+        M._staged_flagship.cache_clear()
