@@ -76,8 +76,19 @@ def fits_vmem(*arrays) -> bool:
     return TEMP_FUDGE * total <= VMEM_SCOPED_LIMIT
 
 
+def _guarded(fn):
+    """Trace fn with transform auto-fusion disabled (no nested pallas)."""
+    def g(*args):
+        from .transforms import no_auto_fuse
+
+        with no_auto_fuse():
+            return fn(*args)
+    return g
+
+
 def fused(fn, x):
     """Run fn(x) -> y entirely inside one Pallas VMEM kernel."""
+    fn = _guarded(fn)
     out_aval = jax.eval_shape(fn, x)
 
     def kernel(x_ref, o_ref):
@@ -103,6 +114,7 @@ def fused_batched(fn, x, out_shape=None):
         block -= 1
     if out_shape is None:
         out_shape = x.shape
+    fn = _guarded(fn)
 
     def kernel(x_ref, o_ref):
         o_ref[:] = fn(x_ref[:])
@@ -129,6 +141,7 @@ def fused_batched_idx(fn, x):
     block = max(1, min(B, VMEM_SCOPED_LIMIT // per_row))
     while B % block:
         block -= 1
+    fn = _guarded(fn)
 
     def kernel(x_ref, o_ref):
         start = pl.program_id(0) * block

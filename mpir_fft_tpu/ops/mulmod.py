@@ -71,7 +71,7 @@ def mulmod_plan(N: int, depth: int | None = None) -> MulmodPlan | None:
     v2 = (N & -N).bit_length() - 1
     d0 = depth if depth is not None else max(1, N.bit_length() // 2 - 3)
     best, best_cost = None, None
-    for d in range(max(1, d0 - 2), d0 + 3):
+    for d in range(max(1, d0 - 3), d0 + 5):
         if d + 1 > v2:
             continue
         m = 1 << (d + 1)
@@ -80,14 +80,28 @@ def mulmod_plan(N: int, depth: int | None = None) -> MulmodPlan | None:
             continue
         npp = 1 << d
         g = (npp * DIGIT_BITS) // math.gcd(npp, DIGIT_BITS)
-        Wp = -(-(2 * b + d + 2) // g) * g
+        # +6 (not +2) bits of headroom: coefficients may come from REDUNDANT
+        # digit vectors (|digit| <= ~2^17), whose values reach 2^(b+2); see
+        # mulmod_fft's no-normalization split
+        need = 2 * b + d + 6
+        Wp = -(-need // g) * g
+        # prefer an even inner root (wp even => negacyclic weights are pure
+        # shifts, no sqrt2 two-shift path) when it costs <= one extra granule
+        g2 = (2 * npp * DIGIT_BITS) // math.gcd(2 * npp, DIGIT_BITS)
+        Wp_even = -(-need // g2) * g2
+        if (Wp_even // npp) % 2 == 0 and Wp_even <= Wp + g:
+            Wp = Wp_even
         plan = MulmodPlan(N, d, b, Wp, Wp // npp)
         Lp = plan.Lp
         fft_cost = 3 * m * Lp * (d + 1) * 3
         if Wp <= MULMOD_BASE_MAX_BITS:
             pw_cost = m * (2 * Lp) ** 2 // 8
         else:
-            pw_cost = m * Lp * max(1, Wp.bit_length()) * 4
+            # another recursion level costs a whole extra pipeline of
+            # dispatches and normalizations (measured 10x at 10^9-bit
+            # shapes): strongly prefer depths whose pointwise reaches the
+            # schoolbook base directly
+            pw_cost = 64 * m * Lp * max(1, Wp.bit_length())
         cost = fft_cost + pw_cost
         if best_cost is None or cost < best_cost:
             best, best_cost = plan, cost
@@ -130,9 +144,19 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     digit vectors (the -1 residue as [-1, 0, ...]); returns same form."""
     N, m, b, Wp, wp = plan.N, plan.m, plan.b, plan.Wp, plan.wp
     LN = N // DIGIT_BITS
-    x, y = normmod(x), normmod(y)   # callers may pass redundant digits
-    x0, mx = _strip_minus1(x)
-    y0, my = _strip_minus1(y)
+    if b % DIGIT_BITS == 0:
+        # digit-aligned coefficients: splitting is a pure regrouping, valid
+        # for ANY integer representative -- redundant digits included (the
+        # negacyclic ring absorbs 2^N == -1 wraps), so the two input
+        # normalization scans and the -1-form strip vanish.  Coefficient
+        # values then reach 2^(b+2) (|digit| <= ~2^17), covered by the
+        # planner's +6-bit headroom.
+        x0, mx = x, None
+        y0, my = y, None
+    else:
+        x, y = normmod(x), normmod(y)
+        x0, mx = _strip_minus1(x)
+        y0, my = _strip_minus1(y)
 
     ca = fft_split_bits(x0, b, m, plan.Lp)
     cb = fft_split_bits(y0, b, m, plan.Lp)
@@ -142,8 +166,9 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     c = ifft_negacyclic(pw, wp, Wp)
     v = normmod(negacyclic_scale(c, plan.depth + 1, Wp))
 
-    # sign lift: c_j = v_j - p' * [v_j > T], T = 2^(2b + depth + 1)
-    gt = _greater_than_pow2(v, 2 * b + plan.depth + 1)
+    # sign lift: c_j = v_j - p' * [v_j > T], T = 2^(2b + depth + 5)
+    # (the redundant-split coefficient bound; also valid for canonical)
+    gt = _greater_than_pow2(v, 2 * b + plan.depth + 5)
     v0, mneg = _strip_minus1(v)   # -1 forms contribute -2^(jb) directly
 
     K = -(-(Wp + plan.depth + 4) // DIGIT_BITS)
@@ -157,10 +182,11 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     corr_m = jnp.einsum("...j,jd->...d", mneg.astype(jnp.int32), onehot)
     folded = folded - corr_p - corr_m - shift_mod(corr_p, Wp, N)
 
-    # (x0 - mx)(y0 - my) = x0 y0 - mx y0 - my x0 + mx my
-    folded = folded - jnp.where(mx[..., None], y0, 0) - jnp.where(my[..., None], x0, 0)
-    one = jnp.zeros_like(folded).at[..., 0].set(1)
-    folded = folded + jnp.where((mx & my)[..., None], one, 0)
+    if mx is not None:
+        # (x0 - mx)(y0 - my) = x0 y0 - mx y0 - my x0 + mx my
+        folded = folded - jnp.where(mx[..., None], y0, 0) - jnp.where(my[..., None], x0, 0)
+        one = jnp.zeros_like(folded).at[..., 0].set(1)
+        folded = folded + jnp.where((mx & my)[..., None], one, 0)
     return normmod(folded)
 
 

@@ -22,6 +22,9 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import numpy as np
 
 import jax
@@ -29,6 +32,32 @@ import jax.numpy as jnp
 
 from .butterfly import butterfly_fwd, butterfly_inv
 from .limb import shift_mod
+
+# trace-time guard: set while tracing inside a Pallas kernel body so the
+# auto-fusing transforms below don't nest pallas_call inside pallas_call
+_NO_FUSE = contextvars.ContextVar("mpir_fft_no_fuse", default=False)
+
+
+@contextlib.contextmanager
+def no_auto_fuse():
+    tok = _NO_FUSE.set(True)
+    try:
+        yield
+    finally:
+        _NO_FUSE.reset(tok)
+
+
+def _auto_fusable(x) -> bool:
+    """Fuse a whole plain transform into one VMEM kernel when: enabled, not
+    already inside a kernel, batched (>= 3-D), and the digit width is under
+    the Mosaic compile-memory cap.  This catches the recursive mulmod's
+    inner negacyclic transforms, which otherwise run as XLA pass-storms
+    (the 10^9-bit pointwise stage was 80% of total time)."""
+    if _NO_FUSE.get() or x.ndim < 3:
+        return False
+    from .fused import MAX_FUSED_L, use_pallas
+
+    return x.shape[-1] <= MAX_FUSED_L and use_pallas()
 
 
 def _as_col(e):
@@ -65,6 +94,14 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
+    if post_exps is None and D > 0 and _auto_fusable(x):
+        from .fused import fused_batched
+
+        flat = x.reshape((-1,) + x.shape[-2:])
+        def body(blk):
+            with no_auto_fuse():
+                return fft_radix2(blk, w, W)
+        return fused_batched(body, flat).reshape(x.shape)
     if post_exps is not None:
         if isinstance(post_exps, np.ndarray):
             post_exps = jnp.asarray(post_exps % (2 * W), jnp.int32)
@@ -100,6 +137,14 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
+    if pre_exps is None and D > 0 and _auto_fusable(x):
+        from .fused import fused_batched
+
+        flat = x.reshape((-1,) + x.shape[-2:])
+        def body(blk):
+            with no_auto_fuse():
+                return ifft_radix2(blk, w, W)
+        return fused_batched(body, flat).reshape(x.shape)
     if pre_exps is not None:
         if isinstance(pre_exps, np.ndarray):
             pre_exps = jnp.asarray(pre_exps % (2 * W), jnp.int32)
