@@ -43,7 +43,7 @@ from .transforms import _as_col
 # crossover in ring bits below which the schoolbook chunk convolution wins
 # (ref: limbs < 250 -> mpn_mulmod_2expp1, mul_fft.c:3135-3139; the value is a
 # tunable like the reference's 250-limb threshold)
-MULMOD_BASE_MAX_BITS = 4096
+MULMOD_BASE_MAX_BITS = 16384
 
 
 @dataclasses.dataclass(frozen=True)
@@ -177,9 +177,23 @@ def mulmod_fft(x, y, plan: MulmodPlan):
     lo, hi = comb[..., :LN], comb[..., LN:]
     folded = lo - jnp.pad(hi, [(0, 0)] * (hi.ndim - 1) + [(0, LN - K)])
 
-    onehot = jnp.asarray(_bit_onehot(m, b, LN))
-    corr_p = jnp.einsum("...j,jd->...d", gt.astype(jnp.int32), onehot)
-    corr_m = jnp.einsum("...j,jd->...d", mneg.astype(jnp.int32), onehot)
+    if b % DIGIT_BITS == 0 and m * (b // DIGIT_BITS) == LN:
+        # aligned coefficients: sum_j flag_j 2^(jb) is a zero-interleave
+        # reshape (flag at digit j*b/16), no integer matmul needed
+        d = b // DIGIT_BITS
+
+        def _spread(flags):
+            z = jnp.zeros(flags.shape + (d - 1,), jnp.int32)
+            return jnp.concatenate(
+                [flags[..., None].astype(jnp.int32), z], axis=-1
+            ).reshape(flags.shape[:-1] + (LN,))
+
+        corr_p = _spread(gt)
+        corr_m = _spread(mneg)
+    else:
+        onehot = jnp.asarray(_bit_onehot(m, b, LN))
+        corr_p = jnp.einsum("...j,jd->...d", gt.astype(jnp.int32), onehot)
+        corr_m = jnp.einsum("...j,jd->...d", mneg.astype(jnp.int32), onehot)
     folded = folded - corr_p - corr_m - shift_mod(corr_p, Wp, N)
 
     if mx is not None:
