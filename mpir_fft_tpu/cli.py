@@ -82,6 +82,15 @@ def cmd_selftest(args) -> int:
     return 1 if failures else 0
 
 
+def cmd_tune(args) -> int:
+    from mpir_fft_tpu.utils.tune import tuned_plan
+
+    plan = tuned_plan(args.bits, args.bits, args.driver, reps=args.reps)
+    print(json.dumps({"driver": args.driver, "bits": args.bits,
+                      "depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2}))
+    return 0
+
+
 def cmd_baseline(args) -> int:
     from mpir_fft_tpu import native
 
@@ -111,6 +120,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("selftest", help="run every driver against the host oracle")
     s.add_argument("--bits", type=int, default=200_000)
     s.set_defaults(fn=cmd_selftest)
+
+    t = sub.add_parser("tune", help="measure candidate plans on-device, cache the best")
+    t.add_argument("--bits", type=int, default=10_000_000)
+    t.add_argument("--driver", default="flagship")
+    t.add_argument("--reps", type=int, default=3)
+    t.set_defaults(fn=cmd_tune)
 
     g = sub.add_parser("baseline", help="time GMP mpn_mul (CPU baseline)")
     g.add_argument("--bits", type=int, default=10_000_000)

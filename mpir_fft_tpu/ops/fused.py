@@ -37,7 +37,7 @@ TEMP_FUDGE = 28
 # Mosaic compile memory explodes on unrolled multi-stage kernels with wide
 # digit vectors (L=1024 SIGKILLed the remote compiler); cap the fused
 # transform path by digit width until a digit-split kernel layout lands
-MAX_FUSED_L = 256
+MAX_FUSED_L = 4096
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:

@@ -83,3 +83,17 @@ def test_staged_flagship_matches_monolithic(rng, monkeypatch):
         assert run_driver("flagship", a, b, 3) == a * b
     finally:
         M._staged_flagship.cache_clear()
+
+
+def test_tuner_candidates_and_cache(rng, tmp_path, monkeypatch):
+    """Tuner measures candidates and caches a valid plan (CPU, tiny size)."""
+    monkeypatch.setenv("MPIR_FFT_TUNE_CACHE", str(tmp_path / "tc.json"))
+    from mpir_fft_tpu.utils.tune import candidate_plans, tuned_plan
+
+    cands = candidate_plans(20000, 20000, sqrt2=True)
+    assert len(cands) >= 2 and all(p.sqrt2 for p in cands)
+    plan = tuned_plan(20000, 20000, "flagship", reps=1)
+    assert plan.sqrt2
+    # cached second call returns instantly with the same depth
+    plan2 = tuned_plan(20000, 20000, "flagship", reps=1)
+    assert (plan2.depth, plan2.w) == (plan.depth, plan.w)
