@@ -66,8 +66,20 @@ def negacyclic_conv_chunks(a, b):
     return acc
 
 
+def _use_ntt() -> bool:
+    import os
+
+    return os.environ.get("MPIR_FFT_NTT", "1").lower() not in ("0", "off", "false")
+
+
 def mulmod_base(a, b, canonical: bool = True):
     """(a * b) mod 2^(16L)+1 on digit vectors [..., L].
+
+    Preferred path: the MXU small-prime NTT-CRT convolution (ops/ntt.py) --
+    dense per-prime transform matmuls on the systolic array, ~an order of
+    magnitude faster than the VPU schoolbook at production widths.  The
+    schoolbook chunk convolution below remains the fallback for shapes the
+    NTT doesn't cover (non-power-of-two L) and for MPIR_FFT_NTT=0 A/B runs.
 
     Inputs may be REDUNDANT signed digits (|digit| <= ~2^17, the transform
     invariant): chunk products then stay below 2^18 and the accumulation
@@ -78,6 +90,10 @@ def mulmod_base(a, b, canonical: bool = True):
     per multiply (ref: the reference must normalize before every
     mpn_mulmod_2expp1 because MPIR's kernel wants proper mpn operands,
     mul_fft.c:3626-3654; the redundant representation has no such need)."""
+    from .ntt import mulmod_ntt, ntt_supported
+
+    if ntt_supported(a.shape[-1]) and _use_ntt():
+        return mulmod_ntt(a, b, canonical=canonical)
     M = 2 * a.shape[-1]
     assert M <= 4096, "chunk accumulation would overflow int32; use FFT recursion"
     from .fused import use_pallas

@@ -1,0 +1,100 @@
+"""Tier-1 tests of the MXU NTT-CRT pointwise path (ops/ntt.py) against the
+Python big-int oracle, mirroring the reference's mulmod test discipline
+(test_mulmod, mul_fft.c:4224-4274): random operands including DENORMALIZED
+redundant digit vectors (the rand_n signed-carry trick, mul_fft.c:3770-3775),
+checked bit-exactly mod p = 2^(16M)+1."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mpir_fft_tpu.ops.limb import DIGIT_BITS, int_from_digits, normmod
+from mpir_fft_tpu.ops.ntt import PRIMES, _psi, mulmod_ntt, ntt_supported
+from mpir_fft_tpu.ops.pointwise import mulmod_base
+
+
+def ref_mulmod(a_digits, b_digits, M):
+    p = (1 << (DIGIT_BITS * M)) + 1
+    va = int_from_digits(np.asarray(a_digits)) % p
+    vb = int_from_digits(np.asarray(b_digits)) % p
+    return va * vb % p
+
+
+def check(got_digits, want_mod, M):
+    p = (1 << (DIGIT_BITS * M)) + 1
+    got = int_from_digits(np.asarray(got_digits)) % p
+    assert got == want_mod
+
+
+def test_primes_and_roots():
+    for p in PRIMES:
+        assert (p - 1) % 4096 == 0
+        # primality by trial division (tiny)
+        assert all(p % d for d in range(2, int(p**0.5) + 1))
+        psi = _psi(p, 1024)
+        assert pow(psi, 1024, p) == p - 1
+        assert pow(psi, 2048, p) == 1
+
+
+@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024])
+def test_mulmod_ntt_canonical(rng, M):
+    for _ in range(3):
+        a = rng.integers(0, 1 << 16, (2, M)).astype(np.int32)
+        b = rng.integers(0, 1 << 16, (2, M)).astype(np.int32)
+        got = mulmod_ntt(jnp.asarray(a), jnp.asarray(b), canonical=True)
+        for i in range(2):
+            check(got[i], ref_mulmod(a[i], b[i], M), M)
+
+
+@pytest.mark.parametrize("M", [16, 128])
+def test_mulmod_ntt_redundant(rng, M):
+    """Redundant signed digits far beyond canonical range (the transform
+    invariant feeds |digit| ~ 2^17; stress to ~2^24)."""
+    for bound in (1 << 17, 1 << 24):
+        a = rng.integers(-bound, bound, (3, M)).astype(np.int32)
+        b = rng.integers(-bound, bound, (3, M)).astype(np.int32)
+        got = mulmod_ntt(jnp.asarray(a), jnp.asarray(b))
+        for i in range(3):
+            check(got[i], ref_mulmod(a[i], b[i], M), M)
+
+
+@pytest.mark.parametrize("M", [8, 64])
+def test_mulmod_ntt_special_values(M):
+    p = (1 << (DIGIT_BITS * M)) + 1
+    minus1 = np.zeros(M, np.int32)
+    minus1[0] = -1  # canonical -1 form
+    ones = np.ones(M, np.int32)
+    zero = np.zeros(M, np.int32)
+    top = np.zeros(M, np.int32)
+    top[-1] = (1 << 16) - 1
+    cases = [minus1, ones, zero, top]
+    for a in cases:
+        for b in cases:
+            got = mulmod_ntt(jnp.asarray(a[None]), jnp.asarray(b[None]))
+            check(got[0], ref_mulmod(a, b, M), M)
+
+
+def test_mulmod_base_dispatches_to_ntt(rng):
+    """mulmod_base must agree with the oracle through the NTT dispatch."""
+    M = 32
+    a = rng.integers(-(1 << 17), 1 << 17, (4, M)).astype(np.int32)
+    b = rng.integers(-(1 << 17), 1 << 17, (4, M)).astype(np.int32)
+    got = mulmod_base(jnp.asarray(a), jnp.asarray(b), canonical=True)
+    for i in range(4):
+        check(got[i], ref_mulmod(a[i], b[i], M), M)
+
+
+def test_ntt_output_bounded(rng):
+    """Non-canonical output must respect the redundant-digit bound the
+    transforms assume (< 2^16 + 2^12)."""
+    M = 64
+    a = rng.integers(-(1 << 20), 1 << 20, (4, M)).astype(np.int32)
+    b = rng.integers(-(1 << 20), 1 << 20, (4, M)).astype(np.int32)
+    got = np.asarray(mulmod_ntt(jnp.asarray(a), jnp.asarray(b)))
+    assert np.abs(got).max() < (1 << 16) + (1 << 12)
+
+
+def test_ntt_supported():
+    assert ntt_supported(1024) and ntt_supported(4)
+    assert not ntt_supported(2048) and not ntt_supported(48)
