@@ -91,6 +91,13 @@ def cmd_tune(args) -> int:
     return 0
 
 
+def cmd_profile(args) -> int:
+    from mpir_fft_tpu.utils.profile import profile_stages
+
+    print(json.dumps(profile_stages(args.bits, reps=args.reps)))
+    return 0
+
+
 def cmd_baseline(args) -> int:
     from mpir_fft_tpu import native
 
@@ -126,6 +133,11 @@ def main(argv=None) -> int:
     t.add_argument("--driver", default="flagship")
     t.add_argument("--reps", type=int, default=3)
     t.set_defaults(fn=cmd_tune)
+
+    pr = sub.add_parser("profile", help="per-stage wall times of the flagship pipeline")
+    pr.add_argument("--bits", type=int, default=10_000_000)
+    pr.add_argument("--reps", type=int, default=3)
+    pr.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("baseline", help="time GMP mpn_mul (CPU baseline)")
     g.add_argument("--bits", type=int, default=10_000_000)

@@ -40,10 +40,13 @@ from .pointwise import mulmod_base
 from .split import fft_combine_bits, fft_split_bits
 from .transforms import _as_col
 
-# crossover in ring bits below which the schoolbook chunk convolution wins
+# crossover in ring bits below which the direct base multiply (MXU NTT-CRT,
+# ops/ntt.py; VPU schoolbook fallback) beats a recursion level
 # (ref: limbs < 250 -> mpn_mulmod_2expp1, mul_fft.c:3135-3139; the value is a
-# tunable like the reference's 250-limb threshold)
-MULMOD_BASE_MAX_BITS = 16384
+# tunable like the reference's 250-limb threshold).  32768 = the NTT's
+# M = 2048 ceiling; one dense int8 matmul beats a whole recursive pipeline
+# of dispatches at every width the NTT covers.
+MULMOD_BASE_MAX_BITS = 32768
 
 
 @dataclasses.dataclass(frozen=True)

@@ -24,10 +24,13 @@ Exact-arithmetic scheme (everything int32/int8, no floats):
 
 * Primes (12289, 40961, 61441), all == 1 mod 4096, so primitive 2M-th roots
   exist for every power-of-two M <= 2048.  Product P ~ 2^43.8.
-* Inputs get one carry_pass, bounding digits below 2^16 + 2^9 for any
-  redundant input bounded by 2^25; negacyclic coefficients then satisfy
-  |c| <= M * (2^16 + 2^9)^2 < 2^42.1 < P/2 for M <= 1024.  (M = 2048 would
-  need a fourth prime; above that the recursive Fermat path takes over.)
+* Inputs get one BALANCED carry pass (digits recentered to [-2^15, 2^15]
+  with the carry injected negacyclically), bounding digits below
+  2^15 + 2^9 + 2 for any redundant input bounded by 2^25; negacyclic
+  coefficients then satisfy |c| <= M * (2^15 + 2^9 + 2)^2 < 2^41.1 < P/2
+  up to M = 2048.  (M = 4096 would need 8192 | p-1, which none of the
+  sub-2^16 primes provide; above 2048 the recursive Fermat path takes
+  over.)
 * A value v mod p (< 2^16) enters a matmul as two signed-int8 planes
   v = v0 + 256*v1 after balanced centering (|v0| <= 128, |v1| <= 121).  The
   256 factor of the hi plane is absorbed into the MATRIX: with U = V mod p
@@ -56,10 +59,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .limb import carry_pass, normmod
+from .limb import DIGIT_BITS, _wrap_inject, carry_pass, normmod
 
 PRIMES = (12289, 40961, 61441)   # == 1 mod 4096; P ~ 2^43.8
-NTT_MAX_M = 1024                 # |c| < P/2 guaranteed up to here
+NTT_MAX_M = 2048                 # |c| < P/2 guaranteed up to here
 
 
 def ntt_supported(M: int) -> bool:
@@ -246,6 +249,16 @@ def _garner_to_digits(r1, r2, r3) -> jax.Array:
     return even + (odd << 8)
 
 
+def _balanced_pass(x: jax.Array) -> jax.Array:
+    """One carry sweep recentering digits to ~[-2^15, 2^15]: the negacyclic
+    coefficient bound scales with the SQUARE of the digit bound, so balancing
+    buys M = 2048 from the same 3-prime CRT range.  From |digit| <= B the
+    output bound is 2^15 + B/2^16 + 1 (exact in the ring)."""
+    m = (x + (1 << (DIGIT_BITS - 1))) >> DIGIT_BITS
+    r = x - (m << DIGIT_BITS)
+    return r + _wrap_inject(m)
+
+
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
@@ -256,8 +269,8 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
     redundant digits (< 2^16 + 2^12) unless canonical=True."""
     M = a.shape[-1]
     assert ntt_supported(M), M
-    a = carry_pass(a)
-    b = carry_pass(b)
+    a = _balanced_pass(a)
+    b = _balanced_pass(b)
     mats = _matrices(M)
     parts = []
     for mat in mats:

@@ -1,0 +1,98 @@
+"""Per-stage profiling of the multiply pipeline.
+
+The reference has no profiling at all -- its time_* harnesses loop whole
+multiplies and wall-clock comes from an external timer (mul_fft.c:5105-5457,
+SURVEY.md section 5).  Here each pipeline stage (split+forward transform,
+pointwise product, inverse transform, normalize, combine) is compiled and
+timed separately on the attached device, using the chained-execution recipe
+from bench.py: the attached TPU can report readiness before cost is visible,
+so every measured repetition feeds the previous output back in and the loop
+closes with a scalar fetch.
+
+Entry: profile_stages(bits, reps) -> dict of stage -> seconds; also exposed
+as `python -m mpir_fft_tpu.cli profile --bits N`.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+
+def _timed(fn, *args, reps: int = 3) -> tuple[float, object]:
+    """Median-free simple timing: chained reps with a closing scalar fetch."""
+    import jax.numpy as jnp
+
+    out = fn(*args)
+    _ = int(jnp.sum(out))          # compile + one real execution
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+        _ = int(jnp.sum(out))      # fetch forces completion each rep
+    dt = (time.perf_counter() - t0) / reps
+    return dt, out
+
+
+def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
+    """Stage wall-times of the (flagship) multiply at `bits`-bit operands."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu.models.mul import DRIVERS, _pointwise, out_len_digits
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, Ring, div_2expmod, normmod
+    from mpir_fft_tpu.ops.mfa import mfa_fft_trunc_sqrt2, mfa_ifft_trunc_sqrt2
+    from mpir_fft_tpu.ops.split import fft_combine_bits, fft_split_bits
+    from mpir_fft_tpu.utils.params import cdiv, choose_params
+
+    assert driver == "flagship", "stage profile covers the flagship pipeline"
+    plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
+    ring = Ring(plan.n, plan.w)
+    W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+
+    rng = np.random.default_rng(0)
+    L = cdiv(bits, DIGIT_BITS)
+    da = jnp.asarray(rng.integers(0, 1 << 16, L, dtype=np.int64).astype(np.int32))
+    db = jnp.asarray(rng.integers(0, 1 << 16, L, dtype=np.int64).astype(np.int32))
+
+    @jax.jit
+    def fwd(d):
+        ia = fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+        return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)[..., :t, :]
+
+    @jax.jit
+    def pw(fa, fb):
+        return _pointwise(fa, fb, W, True)
+
+    @jax.jit
+    def norm(c):
+        return normmod(div_2expmod(c, plan.lg_conv, W))
+
+    @jax.jit
+    def inv(prod):
+        pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
+        c = mfa_ifft_trunc_sqrt2(jnp.concatenate([prod, pad], axis=-2),
+                                 plan.w, W, n1, t)
+        return c[..., :t, :]
+
+    @jax.jit
+    def combine(c):
+        return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+
+    out = {"bits": bits, "plan": {"depth": plan.depth, "w": plan.w, "W": W,
+                                  "L": ring.L, "trunc": t},
+           "device": str(jax.devices()[0])}
+    s, fa = _timed(fwd, da, reps=reps)
+    out["fwd_a_s"] = round(s, 6)
+    s, fb = _timed(fwd, db, reps=reps)
+    out["fwd_b_s"] = round(s, 6)
+    s, prod = _timed(pw, fa, fb, reps=reps)
+    out["pointwise_s"] = round(s, 6)
+    s, c = _timed(inv, prod, reps=reps)
+    out["inverse_s"] = round(s, 6)
+    s, c = _timed(norm, c, reps=reps)
+    out["normalize_s"] = round(s, 6)
+    s, _ = _timed(combine, c, reps=reps)
+    out["combine_s"] = round(s, 6)
+    out["total_s"] = round(sum(v for k, v in out.items() if k.endswith("_s")), 6)
+    return out

@@ -37,7 +37,7 @@ def test_primes_and_roots():
         assert pow(psi, 2048, p) == 1
 
 
-@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024])
+@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024, 2048])
 def test_mulmod_ntt_canonical(rng, M):
     for _ in range(3):
         a = rng.integers(0, 1 << 16, (2, M)).astype(np.int32)
@@ -96,5 +96,5 @@ def test_ntt_output_bounded(rng):
 
 
 def test_ntt_supported():
-    assert ntt_supported(1024) and ntt_supported(4)
-    assert not ntt_supported(2048) and not ntt_supported(48)
+    assert ntt_supported(2048) and ntt_supported(4)
+    assert not ntt_supported(4096) and not ntt_supported(48)
