@@ -31,6 +31,48 @@ def rand_bits(rng, bits):
     return v & ((1 << bits) - 1)
 
 
+# exactness check: full a*b in CPython is O(n^1.58) and takes tens of minutes
+# at 10^9 bits; checking got == a*b mod a few 62-bit primes is O(n) per prime
+# (seconds) and catches any error except with probability ~2^-186
+
+def _is_prime(n: int) -> bool:
+    if n % 2 == 0:
+        return n == 2
+    d, s = n - 1, 0
+    while d % 2 == 0:
+        d, s = d // 2, s + 1
+    for a in (2, 3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37):  # exact below 3.3e24
+        x = pow(a, d, n)
+        if x in (1, n - 1):
+            continue
+        for _ in range(s - 1):
+            x = x * x % n
+            if x == n - 1:
+                break
+        else:
+            return False
+    return True
+
+
+def _check_primes(k=3):
+    out, c = [], (1 << 61) - 1
+    while len(out) < k:
+        if _is_prime(c):
+            out.append(c)
+        c -= 2
+    return out
+
+
+def product_matches(got: int, a: int, b: int, bits: int) -> bool:
+    if bits <= 20_000_000:
+        return got == a * b
+    return all(got % p == (a % p) * (b % p) % p for p in _check_primes())
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     bits = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -70,8 +112,10 @@ def main():
             out = fn(prev, db)
             return out[..., :L]
 
+    log(f"bench: plan depth={plan.depth} w={plan.w} sqrt2={plan.sqrt2}; compiling")
     out = fn(da, db)
     out.block_until_ready()              # compile + warm
+    log("bench: compiled; warming")
     # the attached device may load/compile the program server-side on first
     # execution with block_until_ready returning early; force TWO full
     # executions with real result fetches before timing
@@ -83,6 +127,7 @@ def main():
 
     prof_dir = os.environ.get("BENCH_PROFILE")
     ctx = jax.profiler.trace(prof_dir) if prof_dir else contextlib.nullcontext()
+    log("bench: timing")
     with ctx:
         t0 = time.perf_counter()
         prev = da
@@ -93,8 +138,10 @@ def main():
         wall = (time.perf_counter() - t0) / reps
 
     # correctness spot-check on the plain (unchained) device result
+    log("bench: checking exactness")
     got = mulmod.int_from_digits(np.asarray(out))
-    ok = got == a * b
+    ok = product_matches(got, a, b, bits)
+    log("bench: measuring CPU baseline")
 
     base = native.gmp_baseline(bits, 2)
     if base is not None:

@@ -34,10 +34,11 @@ from jax.experimental.pallas import tpu as pltpu
 # modeled below (measured: a (32, 64, 64->128) block wanted 24.5M scoped).
 VMEM_SCOPED_LIMIT = 12 * 2**20
 TEMP_FUDGE = 28
-# Mosaic compile memory explodes on unrolled multi-stage kernels with wide
-# digit vectors (L=1024 SIGKILLed the remote compiler); cap the fused
-# transform path by digit width until a digit-split kernel layout lands
-MAX_FUSED_L = 4096
+# Mosaic compile memory/time explodes on unrolled multi-stage kernels with
+# wide digit vectors: L=1024 is measured good (10^8-bit end-to-end 4.3x GMP),
+# L=4096 compiles for >20 min (the 10^9-bit stall).  Cap the fused transform
+# path by digit width until a digit-split kernel layout lands.
+MAX_FUSED_L = 1024
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:

@@ -100,10 +100,21 @@ def plan_for_depth(bits_a: int, bits_b: int, depth: int, sqrt2: bool = False) ->
         w = W // n
         bits1_max = (W - lg) // 2
         # digit-align the coefficient stride so split/combine are pure
-        # reshapes (no TPU gathers); costs < 16 of the ~W/2 available bits
-        aligned = (bits1_max // DIGIT_BITS) * DIGIT_BITS
-        if aligned >= DIGIT_BITS:
-            bits1_max = aligned
+        # reshapes (no TPU gathers) -- and align the stride d = bits1/16 to
+        # 8 digits (one sublane tile), falling back to 2: XLA TPU reshapes
+        # between (C*d,) and (C, d) with ODD d hit a scalar relayout path
+        # measured 4-5 ORDERS slower (1291s vs 0.038s at the 10^9-bit shape)
+        d_max = bits1_max // DIGIT_BITS
+        for align in (8, 2, 1):
+            d = (d_max // align) * align
+            if d < 1:
+                continue
+            bits1 = d * DIGIT_BITS
+            j1, j2 = cdiv(bits_a, bits1), cdiv(bits_b, bits1)
+            if j1 + j2 - 1 <= m:
+                return validate(
+                    MulPlan(depth, w, bits1, j1, j2, bits_a, bits_b, sqrt2)
+                )
         j1, j2 = cdiv(bits_a, bits1_max), cdiv(bits_b, bits1_max)
         if j1 + j2 - 1 <= m:
             return validate(
@@ -144,6 +155,11 @@ def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPla
             cost = plan_cost(plan)
             if big and s2 and plan.w % 2 == 1:
                 cost *= 2.0
+            if (plan.bits1 // DIGIT_BITS) % 2 == 1:
+                # odd coefficient stride -> scalar-relayout reshapes in
+                # split/combine (measured orders-of-magnitude slow); only
+                # pick such a plan when no even-stride depth fits
+                cost *= 50.0
             if best_cost is None or cost < best_cost:
                 best, best_cost = plan, cost
     assert best is not None, "no valid plan found"
