@@ -13,7 +13,8 @@ measured repetition CHAINS the previous output into the next input and the
 loop is closed with a scalar reduction fetch -- the chain forces every
 multiply to really execute before the clock stops.
 
-Usage: bench.py [bits] [reps] [driver]
+Usage: bench.py [bits] [reps] [driver] [depth]
+(depth forces plan_for_depth at that depth for A/B plan comparisons)
 """
 
 from __future__ import annotations
@@ -85,13 +86,16 @@ def main():
     from mpir_fft_tpu.models import mul as mulmod
     from mpir_fft_tpu.models.mul import DRIVERS
     from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
-    from mpir_fft_tpu.utils.params import cdiv, choose_params
+    from mpir_fft_tpu.utils.params import cdiv, choose_params, plan_for_depth
 
     rng = np.random.default_rng(0)
     a = rand_bits(rng, bits)
     b = rand_bits(rng, bits)
 
-    plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
+    if len(sys.argv) > 4:
+        plan = plan_for_depth(bits, bits, int(sys.argv[4]), sqrt2=DRIVERS[driver][1])
+    else:
+        plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
     L = cdiv(bits, DIGIT_BITS)
     da = jnp.asarray(digits_from_int(a, L))
     db = jnp.asarray(digits_from_int(b, L))

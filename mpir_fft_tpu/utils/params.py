@@ -124,13 +124,25 @@ def plan_for_depth(bits_a: int, bits_b: int, depth: int, sqrt2: bool = False) ->
 
 
 def plan_cost(plan: MulPlan) -> float:
-    """Rough work model: transform passes + schoolbook pointwise (used until
-    the recursive mulmod crossover kicks in)."""
+    """Rough work model: transform passes + pointwise.  The pointwise unit
+    cost depends on which path serves the ring width W: the MXU NTT-CRT
+    (ops/ntt.py) covers power-of-two L up to the 3-prime ceiling and is
+    ~an order of magnitude cheaper per MAC than the VPU schoolbook, and
+    both beat a whole recursion level (measured end-to-end at 10^9 bits:
+    W=32768 NTT plan 5.3 s vs W=65536 recursive plan 11.5 s)."""
+    from mpir_fft_tpu.ops.mulmod import MULMOD_BASE_MAX_BITS
+    from mpir_fft_tpu.ops.ntt import ntt_supported
+
     L = plan.W // DIGIT_BITS
-    m = plan.conv_len
     t = plan.trunc
     fft_cost = 3 * t * L * plan.lg_conv * 3
-    pw_cost = t * (2 * L) ** 2 // 8
+    pw_unit = t * (2 * L) ** 2 // 8
+    if plan.W <= MULMOD_BASE_MAX_BITS and ntt_supported(L):
+        pw_cost = pw_unit * 0.1          # MXU dense NTT
+    elif plan.W <= MULMOD_BASE_MAX_BITS:
+        pw_cost = pw_unit * 1.0          # VPU schoolbook
+    else:
+        pw_cost = pw_unit * 0.3          # recursive Fermat mulmod
     return 3 * fft_cost + pw_cost
 
 
@@ -142,10 +154,6 @@ def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPla
     d0 = max(2, (total.bit_length() // 2) - 2)
     best, best_cost = None, None
     variants = [False, True] if sqrt2 is None else [sqrt2]
-    # beyond ~10^8 bits the odd-w flat sqrt2 layer's working set (gathers +
-    # barrel-shift copies over the whole coefficient array) dominates HBM;
-    # penalize odd w there so the even-w (plain MFA) form wins when close
-    big = total > (1 << 28)
     for s2 in variants:
         for depth in range(max(2, d0 - 2), d0 + 3):
             try:
@@ -153,8 +161,6 @@ def choose_params(bits_a: int, bits_b: int, sqrt2: bool | None = None) -> MulPla
             except AssertionError:
                 continue
             cost = plan_cost(plan)
-            if big and s2 and plan.w % 2 == 1:
-                cost *= 2.0
             if (plan.bits1 // DIGIT_BITS) % 2 == 1:
                 # odd coefficient stride -> scalar-relayout reshapes in
                 # split/combine (measured orders-of-magnitude slow); only
