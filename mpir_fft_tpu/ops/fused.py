@@ -20,6 +20,7 @@ tests."""
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import os
 
@@ -37,8 +38,12 @@ TEMP_FUDGE = 28
 # Mosaic compile memory/time explodes on unrolled multi-stage kernels with
 # wide digit vectors: L=1024 is measured good (10^8-bit end-to-end 4.3x GMP),
 # L=4096 compiles for >20 min (the 10^9-bit stall).  Cap the fused transform
-# path by digit width until a digit-split kernel layout lands.
+# path by digit width; wider rings use per-STAGE kernels instead (below).
 MAX_FUSED_L = 1024
+# per-stage butterfly kernels keep only one stage's temps on the Mosaic
+# stack, so they scale to much wider digit vectors
+MAX_STAGE_L = 8192
+STAGE_FUDGE = 14
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
@@ -52,7 +57,24 @@ def _mode() -> str:
     return os.environ.get("MPIR_FFT_PALLAS", "auto").lower()
 
 
+_FORCE = None  # test hook: True/False overrides _mode (see force_pallas)
+
+
+@contextlib.contextmanager
+def force_pallas(on: bool = True):
+    """Force the fusion decision for a scope (tests exercise the Pallas
+    kernels on CPU in interpret mode through this)."""
+    global _FORCE
+    prev, _FORCE = _FORCE, on
+    try:
+        yield
+    finally:
+        _FORCE = prev
+
+
 def use_pallas() -> bool:
+    if _FORCE is not None:
+        return _FORCE
     m = _mode()
     if m in ("1", "on", "true"):
         return True
@@ -165,3 +187,86 @@ def maybe_fused(fn, x):
     if use_pallas() and fits_vmem(x, x):
         return fused(fn, x)
     return fn(x)
+
+
+def _pick_stage_blocks(N: int, h: int, L: int, itemsize: int = 4):
+    """(nb, hb) batch/position block sizes for a per-stage butterfly kernel:
+    nb*hb rows of padded width L fit the scoped-VMEM budget with one stage's
+    live temps (STAGE_FUDGE buffers).  h is a power of two."""
+    Lpad = -(-L // 128) * 128
+    R = max(1, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * itemsize))
+    hb = min(h, 1 << max(0, R.bit_length() - 1))
+    while h % hb:
+        hb //= 2
+    nb = max(1, min(N, R // hb))
+    while N % nb:
+        nb -= 1
+    return nb, hb
+
+
+def fused_butterfly_stage(kind: str, xp, step: int, W: int, pe=None):
+    """One whole FFT stage's butterflies in a single Pallas kernel pass.
+
+    The unfused stage costs ~a dozen HBM round trips (the per-row twiddle is
+    a log2(L)-round barrel shifter, each round a full-array select+roll);
+    here the barrel runs on VMEM blocks, so the stage makes exactly one HBM
+    round trip.  This is what makes rings wider than MAX_FUSED_L (whose
+    whole-transform kernels blow the Mosaic stack) fast.
+
+    xp: (N, 2, h, L) int32 -- the stage's DIF pair layout, xp[:, 0] = a,
+    xp[:, 1] = b; returned in the same layout (s at [:, 0], t at [:, 1]), so
+    the surrounding reshapes are pure views and the stage makes exactly one
+    read and one write of the coefficient matrix.  The per-row exponent is
+    i*step for absolute position i in [0, h) (identical across the N
+    batch/DIF-block axis), built from iota inside the kernel.  pe: optional
+    (N, 2, h) extra exponent table (the fused last/first-stage twiddles of
+    FFT/IFFT_radix2_twiddle, ref mul_fft.c:1406-1419, 1964-2010).
+    kind 'fwd': s = (a+b) [* 2^pe[:,0]], t = (a-b) * 2^(i*step + pe[:,1]).
+    kind 'inv': a = s' + t/2^(i*step+pe[:,1]), b = s' - t/..., with
+    s' = s / 2^pe[:,0] (ref mul_fft.c:721-752)."""
+    from .butterfly import butterfly_fwd, butterfly_inv
+    from .transforms import no_auto_fuse
+
+    N, two, h, L = xp.shape
+    assert two == 2
+    nb, hb = _pick_stage_blocks(2 * N, h, L)
+    nb = max(1, nb // 2)
+    while N % nb:
+        nb -= 1
+    grid = (N // nb, h // hb)
+    spec = pl.BlockSpec((nb, 2, hb, L), lambda i, j: (i, 0, j, 0),
+                        memory_space=pltpu.VMEM)
+    spec_pe = pl.BlockSpec((nb, 2, hb), lambda i, j: (i, 0, j),
+                           memory_space=pltpu.VMEM)
+    has_pe = pe is not None
+
+    def kernel(*refs):
+        x_blk = refs[0][...]
+        a_blk, b_blk = x_blk[:, 0], x_blk[:, 1]
+        pes = pet = None
+        if has_pe:
+            pe_blk = refs[1][...]
+            pes = pe_blk[:, 0][..., None]
+            pet = pe_blk[:, 1][..., None]
+        o_ref = refs[-1]
+        i = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
+            jnp.int32, (1, hb, 1), 1)
+        e = i * jnp.int32(step)
+        with no_auto_fuse():
+            if kind == "fwd":
+                e_t = e if pet is None else e + pet
+                s, t = butterfly_fwd(a_blk, b_blk, e_t, W, e_s=pes)
+            else:
+                s, t = butterfly_inv(a_blk, b_blk, e, W, e_s=pes, e_t=pet)
+        o_ref[...] = jnp.stack([s, t], axis=1)
+
+    in_specs = [spec] + ([spec_pe] if has_pe else [])
+    ins = [xp] + ([pe] if has_pe else [])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((N, 2, h, L), xp.dtype),
+        in_specs=in_specs,
+        out_specs=spec,
+        interpret=_interpret(),
+    )(*ins)

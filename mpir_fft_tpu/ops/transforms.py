@@ -60,6 +60,18 @@ def _auto_fusable(x) -> bool:
     return x.shape[-1] <= MAX_FUSED_L and use_pallas()
 
 
+def _stage_fusable(x) -> bool:
+    """Per-stage kernel fusion for digit widths too wide for whole-transform
+    kernels (one stage's temps fit the Mosaic stack where log2(C) stages'
+    don't).  The unfused fallback pays ~a dozen HBM passes per stage for the
+    barrel-shifted twiddles."""
+    if _NO_FUSE.get():
+        return False
+    from .fused import MAX_FUSED_L, MAX_STAGE_L, use_pallas
+
+    return MAX_FUSED_L < x.shape[-1] <= MAX_STAGE_L and use_pallas()
+
+
 def _as_col(e):
     """Shape an exponent vector for broadcast over the digit axis."""
     if isinstance(e, np.ndarray):
@@ -112,16 +124,28 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
+    stage_fuse = _stage_fusable(x)
     for l in range(D):
         h = C >> (l + 1)
         blocks = 1 << l
         xr = x.reshape(lead + (blocks, 2, h, L))
+        pe = None
+        if l == D - 1 and post_exps is not None:
+            pe = post_exps.reshape(pe_lead + (blocks, 2, h)) % (2 * W)
+        if stage_fuse:
+            from .fused import fused_butterfly_stage
+
+            if pe is not None:
+                pe = jnp.broadcast_to(pe, lead + (blocks, 2, h)).reshape(-1, 2, h)
+            x = fused_butterfly_stage(
+                "fwd", xr.reshape((-1, 2, h, L)), w << l, W, pe
+            ).reshape(lead + (C, L))
+            continue
         a = xr[..., 0, :, :]
         b = xr[..., 1, :, :]
         e_t = _iota_exps(h, w << l)                      # i * w * 2^l bits
         e_s = None
-        if l == D - 1 and post_exps is not None:
-            pe = post_exps.reshape(pe_lead + (blocks, 2, h))
+        if pe is not None:
             e_s = _as_col(pe[..., 0, :])                 # s lands at even pos
             e_t = _as_col(pe[..., 1, :]) + e_t           # t at odd pos
         s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s)
@@ -155,16 +179,28 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
+    stage_fuse = _stage_fusable(x)
     for l in range(D - 1, -1, -1):
         h = C >> (l + 1)
         blocks = 1 << l
         xr = x.reshape(lead + (blocks, 2, h, L))
+        pe = None
+        if l == D - 1 and pre_exps is not None:
+            pe = pre_exps.reshape(pe_lead + (blocks, 2, h)) % (2 * W)
+        if stage_fuse:
+            from .fused import fused_butterfly_stage
+
+            if pe is not None:
+                pe = jnp.broadcast_to(pe, lead + (blocks, 2, h)).reshape(-1, 2, h)
+            x = fused_butterfly_stage(
+                "inv", xr.reshape((-1, 2, h, L)), w << l, W, pe
+            ).reshape(lead + (C, L))
+            continue
         s = xr[..., 0, :, :]
         t = xr[..., 1, :, :]
         e = _iota_exps(h, w << l)
         e_s = e_t = None
-        if l == D - 1 and pre_exps is not None:
-            pe = pre_exps.reshape(pe_lead + (blocks, 2, h))
+        if pe is not None:
             e_s = _as_col(pe[..., 0, :])
             e_t = _as_col(pe[..., 1, :])
         a, b = butterfly_inv(s, t, e, W, e_s=e_s, e_t=e_t)

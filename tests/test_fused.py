@@ -1,0 +1,86 @@
+"""Pallas fusion paths, exercised on CPU in interpret mode via force_pallas.
+
+The production TPU path fuses transforms into VMEM kernels (whole-transform
+kernels for L <= MAX_FUSED_L, per-stage butterfly kernels for wider rings);
+on CPU those paths are normally off, so these tests force them and check
+bit-identity against the plain XLA path.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mpir_fft_tpu.ops import fused
+from mpir_fft_tpu.ops.fused import force_pallas
+from mpir_fft_tpu.ops.limb import Ring, normmod
+from mpir_fft_tpu.ops.transforms import (
+    fft_radix2,
+    fft_radix2_twiddle,
+    ifft_radix2,
+    ifft_radix2_twiddle,
+)
+
+
+def _rand(rng, shape):
+    # denormalized signed digits, the transform-internal invariant
+    return rng.integers(-(1 << 17), 1 << 17, shape).astype(np.int32)
+
+
+def _eq_mod(x, y, W):
+    xv = np.asarray(normmod(jnp.asarray(x)))
+    yv = np.asarray(normmod(jnp.asarray(y)))
+    assert np.array_equal(xv, yv)
+
+
+@pytest.mark.parametrize("C,batch", [(8, 4), (16, 2)])
+def test_stage_fused_fft_matches_plain(rng, C, batch):
+    ring = Ring(C, 256 // C * 16)   # W = 4096 bits... keep L over MAX_FUSED_L
+    # force a wide ring: L must exceed MAX_FUSED_L for the stage path;
+    # shrink the cap for the test instead of building a monster array
+    old = fused.MAX_FUSED_L
+    fused.MAX_FUSED_L = 16
+    try:
+        W = 16 * 32           # L = 32 > 16
+        x = _rand(rng, (batch, C, 32))
+        w = 2 * W // (2 * C)  # any exponent with w*C = W works for roundtrip
+        plain = fft_radix2(jnp.asarray(x), w, W)
+        with force_pallas(True):
+            fast = fft_radix2(jnp.asarray(x), w, W)
+        _eq_mod(plain, fast, W)
+        plain_i = ifft_radix2(plain, w, W)
+        with force_pallas(True):
+            fast_i = ifft_radix2(plain, w, W)
+        _eq_mod(plain_i, fast_i, W)
+    finally:
+        fused.MAX_FUSED_L = old
+
+
+def test_stage_fused_twiddle_matches_plain(rng):
+    old = fused.MAX_FUSED_L
+    fused.MAX_FUSED_L = 16
+    try:
+        C, W = 8, 16 * 32
+        w = 2 * W // (2 * C)
+        x = _rand(rng, (4, C, 32))
+        plain = fft_radix2_twiddle(jnp.asarray(x), w, W, 3, 5)
+        with force_pallas(True):
+            fast = fft_radix2_twiddle(jnp.asarray(x), w, W, 3, 5)
+        _eq_mod(plain, fast, W)
+        plain_i = ifft_radix2_twiddle(plain, w, W, 3, 5)
+        with force_pallas(True):
+            fast_i = ifft_radix2_twiddle(plain, w, W, 3, 5)
+        _eq_mod(plain_i, fast_i, W)
+    finally:
+        fused.MAX_FUSED_L = old
+
+
+def test_whole_fused_transform_matches_plain(rng):
+    # L <= MAX_FUSED_L: the whole-transform kernel path
+    C, W = 8, 16 * 8
+    w = 2 * W // (2 * C)
+    x = _rand(rng, (4, C, 8))
+    plain = fft_radix2(jnp.asarray(x), w, W)
+    with force_pallas(True):
+        fast = fft_radix2(jnp.asarray(x), w, W)
+    _eq_mod(plain, fast, W)
