@@ -76,7 +76,9 @@ def log(msg):
 
 def main():
     bits = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    # default reps amortize the tunnel's ~1-5 ms/dispatch overhead (measured:
+    # a trivial chained program costs 4.6 ms/rep at 8 reps, 1.1 ms at 32)
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else max(3, min(64, (3 << 28) // bits))
     driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
 
     import jax
