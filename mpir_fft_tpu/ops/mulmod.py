@@ -43,10 +43,10 @@ from .transforms import _as_col
 # crossover in ring bits below which the direct base multiply (MXU NTT-CRT,
 # ops/ntt.py; VPU schoolbook fallback) beats a recursion level
 # (ref: limbs < 250 -> mpn_mulmod_2expp1, mul_fft.c:3135-3139; the value is a
-# tunable like the reference's 250-limb threshold).  32768 = the NTT's
-# M = 2048 ceiling; one dense int8 matmul beats a whole recursive pipeline
-# of dispatches at every width the NTT covers.
-MULMOD_BASE_MAX_BITS = 32768
+# tunable like the reference's 250-limb threshold).  65536 = the NTT's
+# M = 4096 (tier-2 primes) ceiling; one dense int8 matmul beats a whole
+# recursive pipeline of dispatches at every width the NTT covers.
+MULMOD_BASE_MAX_BITS = 65536
 
 
 @dataclasses.dataclass(frozen=True)

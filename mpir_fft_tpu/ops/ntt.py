@@ -22,24 +22,24 @@ magnitude (measured: 472ms -> ~50ms for the 10^8-bit pointwise stage).
 
 Exact-arithmetic scheme (everything int32/int8, no floats):
 
-* Primes (12289, 40961, 61441), all == 1 mod 4096, so primitive 2M-th roots
-  exist for every power-of-two M <= 2048.  Product P ~ 2^43.8.
+* Two prime tiers (see _tier): (12289, 40961, 61441) == 1 mod 4096 covers
+  M <= 2048 with P ~ 2^43.8; (65537, 114689, 163841) == 1 mod 16384 covers
+  M <= 8192 with P ~ 2^50.1 (below 2^16 only 40961 has 8192 | p-1, so wider
+  rings need the ~17-bit primes; above NTT_MAX_M the recursive Fermat path
+  takes over).
 * Inputs get one BALANCED carry pass (digits recentered to [-2^15, 2^15]
   with the carry injected negacyclically), bounding digits below
   2^15 + 2^9 + 2 for any redundant input bounded by 2^25; negacyclic
-  coefficients then satisfy |c| <= M * (2^15 + 2^9 + 2)^2 < 2^41.1 < P/2
-  up to M = 2048.  (M = 4096 would need 8192 | p-1, which none of the
-  sub-2^16 primes provide; above 2048 the recursive Fermat path takes
-  over.)
-* A value v mod p (< 2^16) enters a matmul as two signed-int8 planes
-  v = v0 + 256*v1 after balanced centering (|v0| <= 128, |v1| <= 121).  The
-  256 factor of the hi plane is absorbed into the MATRIX: with U = V mod p
-  and U' = 256 V mod p, each split into planes (U0, U1), (U'0, U'1),
-
-      x @ V mod p == (x0 @ U0 + x1 @ U'0) + 256 * (x0 @ U1 + x1 @ U'1)
-
-  which is ONE [B, 2M] @ [2M, 2M] int8 matmul with int32 accumulation
-  (partial sums < 2M * 128^2 < 2^25, exact), then a cheap mod-fold.
+  coefficients then satisfy |c| <= M * (2^15 + 2^9 + 2)^2: < 2^41.1 at
+  M = 2048 (tier-1 P/2 ~ 2^42.8) and < 2^42.1 at M = 4096 (tier-2
+  P/2 ~ 2^49.1).
+* A value v mod p enters a matmul as k signed-int8 planes
+  v = v0 + 256*v1 (+ 65536*v2), k = 2 for tier-1 (p < 2^16), k = 3 for
+  tier-2, after balanced centering.  The 256^j factors of the high planes
+  are absorbed into the MATRIX: row-plane j of the [kM, kM] block holds the
+  planes of 256^j * V mod p, so the whole transform is ONE
+  [B, kM] @ [kM, kM] int8 matmul with int32 accumulation (partial sums
+  < kM * 128^2 < 2^29, exact), then a cheap high-to-low mod-fold.
 * Garner mixed-radix digits recombine the three residues; the up-to-43-bit
   signed coefficients are never materialized -- each Garner term spreads
   into base-2^8 chunk planes (every partial product < 2^16) which pair back
@@ -61,8 +61,22 @@ import jax.numpy as jnp
 
 from .limb import DIGIT_BITS, _wrap_inject, carry_pass, normmod
 
-PRIMES = (12289, 40961, 61441)   # == 1 mod 4096; P ~ 2^43.8
-NTT_MAX_M = 2048                 # |c| < P/2 guaranteed up to here
+# Two prime tiers.  Tier 1: sub-2^16 primes == 1 mod 4096 (2M-th roots for
+# M <= 2048), values fit TWO signed-int8 planes -- the cheapest matmuls.
+# Tier 2: sub-2^17.4 primes == 1 mod 16384 (M <= 8192; only 40961 reaches
+# M=4096 below 2^16, so wider rings need wider primes), values take THREE
+# planes -- 2.25x the matmul work, still far cheaper than a recursion level.
+PRIMES = (12289, 40961, 61441)       # P ~ 2^43.8; |c| < P/2 up to M = 2048
+PRIMES_T2 = (65537, 114689, 163841)  # P ~ 2^50.1; |c| < P/2 up to M = 8192
+TIER1_MAX_M = 2048
+NTT_MAX_M = 4096                 # tier-2 ceiling (M=8192 matrices: 3.6 GB HBM)
+
+
+def _tier(M: int) -> tuple[tuple[int, int, int], int]:
+    """(primes, planes) serving transform length M."""
+    if M <= TIER1_MAX_M:
+        return PRIMES, 2
+    return PRIMES_T2, 3
 
 
 def ntt_supported(M: int) -> bool:
@@ -107,24 +121,29 @@ def _center(v: np.ndarray, p: int) -> np.ndarray:
     return np.where(v > p // 2, v - p, v).astype(np.int64)
 
 
-def _split8(v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Signed value -> (lo, hi) with v = lo + 256*hi, lo in [-128, 128)."""
-    lo = ((v + 128) % 256) - 128
-    hi = (v - lo) >> 8
-    return lo, hi
+def _split_planes(v: np.ndarray, k: int) -> list[np.ndarray]:
+    """Signed value -> k planes with v = sum_j planes[j] * 256^j, the low
+    k-1 balanced into [-128, 128)."""
+    planes = []
+    for _ in range(k - 1):
+        lo = ((v + 128) % 256) - 128
+        planes.append(lo)
+        v = (v - lo) >> 8
+    planes.append(v)
+    return planes
 
 
-def _plane_block(V: np.ndarray, p: int) -> np.ndarray:
-    """[M, M] value matrix mod p -> [2M, 2M] signed-int8 plane block so that
-    for X = [x0 | x1] (input planes), X @ block = [S0 | S1] with
-    x @ V mod p == (S0 + 256 * (S1 mod p)) mod p."""
-    U = V % p
-    Up = (V * 256) % p
-    U0, U1 = _split8(_center(U, p))
-    Q0, Q1 = _split8(_center(Up, p))
-    top = np.concatenate([U0, U1], axis=1)
-    bot = np.concatenate([Q0, Q1], axis=1)
-    blk = np.concatenate([top, bot], axis=0)
+def _plane_block(V: np.ndarray, p: int, k: int) -> np.ndarray:
+    """[M, M] value matrix mod p -> [kM, kM] signed-int8 plane block so that
+    for X = [x0 | .. | x_{k-1}] (input planes), X @ block = [S0 | .. | S_{k-1}]
+    with  x @ V mod p == sum_j 256^j * S_j  (mod p): row-plane j of the block
+    holds the planes of 256^j * V mod p, absorbing the input planes' scale
+    into the matrix."""
+    rows = []
+    for j in range(k):
+        Uj = (V * (256**j)) % p
+        rows.append(np.concatenate(_split_planes(_center(Uj, p), k), axis=1))
+    blk = np.concatenate(rows, axis=0)
     assert blk.min() >= -128 and blk.max() <= 127
     return blk.astype(np.int8)
 
@@ -133,8 +152,9 @@ def _plane_block(V: np.ndarray, p: int) -> np.ndarray:
 def _matrices(M: int) -> list[dict]:
     """Per prime: plane-block forward/inverse negacyclic NTT matrices.
     F[i, k] = psi^(i(2k+1)); G[k, j] = M^-1 psi^(-j(2k+1))  (mod p)."""
+    primes, planes = _tier(M)
     out = []
-    for p in PRIMES:
+    for p in primes:
         psi = _psi(p, M)
         pows = np.empty(2 * M, np.int64)
         acc = 1
@@ -146,13 +166,69 @@ def _matrices(M: int) -> list[dict]:
         F = pows[(i * (2 * k + 1)) % (2 * M)]
         Minv = pow(M, -1, p)
         G = (Minv * pows[(-(k * (2 * i + 1))) % (2 * M)]) % p
-        out.append({"p": p, "F": _plane_block(F, p), "G": _plane_block(G, p)})
+        out.append({"p": p, "k": planes,
+                    "F": _plane_block(F, p, planes),
+                    "G": _plane_block(G, p, planes)})
     return out
 
 
 @functools.lru_cache(maxsize=None)
-def _garner_consts() -> dict:
-    p1, p2, p3 = PRIMES
+def _ntt4_mats(M: int) -> list[dict]:
+    """Per prime: 4-step (Bailey) factorization of the length-M cyclic DFT
+    into two length-m DFT matmul passes with an elementwise twiddle between
+    them, plus explicit negacyclic psi^i weighting tables.
+
+    The dense [kM, kM] plane blocks at M=4096 weigh 151 MB each and get
+    inlined into the lowered program (the remote compiler rejects the
+    payload); the 4-step's [k*m, k*m] blocks are ~37 KB and the matmul work
+    drops from O(M^2) to O(M^1.5) MACs per row.  Layout contract: the
+    forward transform emits the spectrum in (k1, k2)-blocked PERMUTED order
+    -- fine for the pointwise product, and the inverse consumes the same
+    layout, mirroring the reference's no-reorder MFA convention
+    (README:87-91)."""
+    primes, k = _tier(M)
+    lg = M.bit_length() - 1
+    m1 = 1 << (lg // 2)
+    m2 = M // m1
+    out = []
+    for p in primes:
+        psi = _psi(p, M)
+        om = psi * psi % p                      # primitive M-th root
+        pw = np.empty(M, np.int64)
+        acc = 1
+        for e in range(M):
+            pw[e] = acc
+            acc = acc * om % p
+        i1 = np.arange(m1, dtype=np.int64)
+        i2 = np.arange(m2, dtype=np.int64)
+        F1 = pw[(m2 * np.outer(i1, i1)) % M]    # [i1, k1]: om_m1 = om^m2
+        F2 = pw[(m1 * np.outer(i2, i2)) % M]    # [i2, k2]: om_m2 = om^m1
+        G1 = pw[(-m2 * np.outer(i1, i1)) % M]
+        G2 = pw[(-m1 * np.outer(i2, i2)) % M]
+        T = pw[np.outer(i2, i1) % M]            # [i2, k1] cross twiddle
+        Ti = pw[(-np.outer(i1, i2)) % M]        # [k1, i2] inverse twiddle
+        ppw = np.empty(2 * M, np.int64)
+        acc = 1
+        for e in range(2 * M):
+            ppw[e] = acc
+            acc = acc * psi % p
+        idx = np.arange(M, dtype=np.int64)      # i = i1*m2 + i2 (row-major)
+        Wt = ppw[idx % (2 * M)]                 # psi^i negacyclic weight
+        Minv = pow(M, -1, p)
+        Wti = (Minv * ppw[(-idx) % (2 * M)]) % p
+        out.append({
+            "p": p, "k": k, "m1": m1, "m2": m2,
+            "F1": _plane_block(F1, p, k), "F2": _plane_block(F2, p, k),
+            "G1": _plane_block(G1, p, k), "G2": _plane_block(G2, p, k),
+            "T": T.astype(np.int32), "Ti": Ti.astype(np.int32),
+            "Wt": Wt.astype(np.int32), "Wti": Wti.astype(np.int32),
+        })
+    return out
+
+
+@functools.lru_cache(maxsize=None)
+def _garner_consts(primes: tuple[int, int, int]) -> dict:
+    p1, p2, p3 = primes
     return {
         "inv12": pow(p1, -1, p2),
         "inv13": pow(p1, -1, p3),
@@ -166,41 +242,50 @@ def _garner_consts() -> dict:
 # ---------------------------------------------------------------------------
 
 def _modmul_const(a: jax.Array, c: int, p: int) -> jax.Array:
-    """a * c mod p for a in [0, p), p < 2^16, constant c in [0, p).
-    Both partial products stay below 2^24 (int32-exact)."""
+    """a * c mod p for a in [0, p), p < 2^17.5, constant c in [0, p).
+    Partial products stay below 2^27 (int32-exact): a*ch < p * (p>>8)."""
     cl, ch = c & 0xFF, c >> 8
     t = jnp.mod(a * ch, p)
     return jnp.mod(a * cl + (t << 8), p)
 
 
 def _modmul(a: jax.Array, b: jax.Array, p: int) -> jax.Array:
-    """a * b mod p, both in [0, p), p < 2^16."""
+    """a * b mod p, both in [0, p), p < 2^17.5."""
     bl = b & 0xFF
     bh = b >> 8
     t = jnp.mod(a * bh, p)
     return jnp.mod(a * bl + (t << 8), p)
 
 
-def _to_planes(x: jax.Array, p: int) -> jax.Array:
-    """Digits (any int32 magnitude) -> [..., 2M] signed-int8 matmul planes."""
+def _to_planes(x: jax.Array, p: int, k: int) -> jax.Array:
+    """Digits (any int32 magnitude) -> [..., kM] signed-int8 matmul planes."""
     r = jnp.mod(x, p)
     rc = jnp.where(r > p // 2, r - p, r)
-    lo = ((rc + 128) & 255) - 128
-    hi = (rc - lo) >> 8
-    return jnp.concatenate([lo, hi], axis=-1).astype(jnp.int8)
+    planes = []
+    for _ in range(k - 1):
+        lo = ((rc + 128) & 255) - 128
+        planes.append(lo)
+        rc = (rc - lo) >> 8
+    planes.append(rc)
+    return jnp.concatenate(planes, axis=-1).astype(jnp.int8)
 
 
-def _apply_block(planes: jax.Array, blk: np.ndarray, p: int) -> jax.Array:
-    """[..., 2M] int8 planes @ [2M, 2M] int8 block -> values mod p [..., M]."""
+def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int) -> jax.Array:
+    """[..., kM] int8 planes @ [kM, kM] int8 block -> values mod p [..., M].
+    Folds S = [S0|..|S_{k-1}] high-to-low: v = S0 + 256(S1 + 256(S2 ...));
+    every intermediate stays int32-exact (|S_j| <= kM*127^2 < 2^28.6, each
+    fold adds (p << 8) < 2^25.5)."""
     S = jax.lax.dot_general(
         planes,
         jnp.asarray(blk),
         (((planes.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    M = S.shape[-1] // 2
-    s0, s1 = S[..., :M], S[..., M:]
-    return jnp.mod(s0 + (jnp.mod(s1, p) << 8), p)
+    M = S.shape[-1] // k
+    acc = jnp.mod(S[..., (k - 1) * M :], p)
+    for j in range(k - 2, -1, -1):
+        acc = jnp.mod(S[..., j * M : (j + 1) * M] + (acc << 8), p)
+    return acc
 
 
 def _nega_roll_digits(v: jax.Array, k: int) -> jax.Array:
@@ -210,53 +295,95 @@ def _nega_roll_digits(v: jax.Array, k: int) -> jax.Array:
     return jnp.concatenate([-v[..., -k:], v[..., :-k]], axis=-1)
 
 
-def _garner_to_digits(r1, r2, r3) -> jax.Array:
+def _garner_to_digits(rs, primes) -> jax.Array:
     """Three residue planes [..., M] -> redundant int32 digits of the signed
-    negacyclic coefficients (|c| < P/2), spread via base-2^8 chunk planes so
-    every intermediate product stays below 2^16."""
-    p1, p2, p3 = PRIMES
-    g = _garner_consts()
+    negacyclic coefficients (|c| < P/2), via mixed-radix Garner digits
+    c = v1 + p1*v2 + (p1*p2)*v3 spread into base-2^8 chunk planes: every
+    chunk product stays below ~2^17 and the paired digits below ~2^21, so
+    nothing wide is ever materialized."""
+    r1, r2, r3 = rs
+    p1, p2, p3 = primes
+    g = _garner_consts(primes)
     v1 = r1
     v2 = _modmul_const(jnp.mod(r2 - v1, p2), g["inv12"], p2)
     t = _modmul_const(jnp.mod(r3 - v1, p3), g["inv13"], p3)
     v3 = _modmul_const(jnp.mod(t - v2, p3), g["inv23"], p3)
     v3 = jnp.where(v3 > p3 // 2, v3 - p3, v3)          # centered: |v3| < p3/2
 
-    # c = v1 + p1*v2 + (p1*p2)*v3 ; spread into chunk planes A[m], m = 0..4
-    A = [0, 0, 0, 0, 0]
+    nA = (g["q"].bit_length() + p3.bit_length()) // 8 + 2
+    A = [0] * nA
 
-    def spread(const: int, var_lo, var_hi):
+    def var_chunks(v, signed):
+        """Base-2^8 chunks of v (< 2^18 magnitude), top chunk signed."""
+        out = []
+        for _ in range(2):
+            lo = v & 0xFF
+            out.append(lo)
+            v = (v - lo) >> 8
+        out.append(v)                                   # |top| <= ~2^2..2^9
+        return out
+
+    def spread(const: int, vcs):
         m = 0
         c = const
         while c:
             ck = c & 0xFF
             if ck:
-                A[m] = A[m] + ck * var_lo
-                A[m + 1] = A[m + 1] + ck * var_hi
+                for j, vc in enumerate(vcs):
+                    A[m + j] = A[m + j] + ck * vc
             c >>= 8
             m += 1
 
-    A[0] = v1 & 0xFF
-    A[1] = v1 >> 8
-    v2l, v2h = v2 & 0xFF, v2 >> 8
-    spread(p1, v2l, v2h)
-    v3l = v3 & 0xFF
-    v3h = (v3 - v3l) >> 8                               # signed, |v3h| <= 121
-    spread(g["q"], v3l, v3h)
+    spread(1, var_chunks(v1, False))
+    spread(p1, var_chunks(v2, False))
+    spread(g["q"], var_chunks(v3, True))
 
-    even = A[0] + _nega_roll_digits(A[2], 1) + _nega_roll_digits(A[4], 2)
-    odd = A[1] + _nega_roll_digits(A[3], 1)
+    even = 0
+    odd = 0
+    for m in range(0, nA, 2):
+        if not isinstance(A[m], int):
+            even = even + _nega_roll_digits(A[m], m // 2)
+    for m in range(1, nA, 2):
+        if not isinstance(A[m], int):
+            odd = odd + _nega_roll_digits(A[m], m // 2)
     return even + (odd << 8)
 
 
 def _balanced_pass(x: jax.Array) -> jax.Array:
     """One carry sweep recentering digits to ~[-2^15, 2^15]: the negacyclic
     coefficient bound scales with the SQUARE of the digit bound, so balancing
-    buys M = 2048 from the same 3-prime CRT range.  From |digit| <= B the
+    doubles the M each prime tier's CRT range covers.  From |digit| <= B the
     output bound is 2^15 + B/2^16 + 1 (exact in the ring)."""
     m = (x + (1 << (DIGIT_BITS - 1))) >> DIGIT_BITS
     r = x - (m << DIGIT_BITS)
     return r + _wrap_inject(m)
+
+
+def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
+    """Digits [..., M] (any int32 magnitude) -> permuted spectrum
+    [..., m1, m2] of the psi-weighted (negacyclic) sequence, values in
+    [0, p)."""
+    p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
+    r = _modmul(jnp.mod(x, p), jnp.asarray(mat["Wt"]), p)
+    a = r.reshape(r.shape[:-1] + (m1, m2))
+    a = jnp.swapaxes(a, -1, -2)                              # [.., i2, i1]
+    a = _apply_block(_to_planes(a, p, k), mat["F1"], p, k)   # [.., i2, k1]
+    a = _modmul(a, jnp.asarray(mat["T"]), p)
+    a = jnp.swapaxes(a, -1, -2)                              # [.., k1, i2]
+    return _apply_block(_to_planes(a, p, k), mat["F2"], p, k)  # [.., k1, k2]
+
+
+def _ntt4_inv(y: jax.Array, mat: dict) -> jax.Array:
+    """Permuted spectrum [..., m1, m2] -> negacyclic coefficient residues
+    [..., M] in [0, p) (includes the M^-1 psi^-j unweighting)."""
+    p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
+    a = _apply_block(_to_planes(y, p, k), mat["G2"], p, k)   # [.., k1, i2]
+    a = _modmul(a, jnp.asarray(mat["Ti"]), p)
+    a = jnp.swapaxes(a, -1, -2)                              # [.., i2, k1]
+    a = _apply_block(_to_planes(a, p, k), mat["G1"], p, k)   # [.., i2, i1]
+    a = jnp.swapaxes(a, -1, -2)                              # [.., i1, i2]
+    a = a.reshape(a.shape[:-2] + (m1 * m2,))
+    return _modmul(a, jnp.asarray(mat["Wti"]), p)
 
 
 # ---------------------------------------------------------------------------
@@ -271,12 +398,25 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
     assert ntt_supported(M), M
     a = _balanced_pass(a)
     b = _balanced_pass(b)
-    mats = _matrices(M)
     parts = []
-    for mat in mats:
-        p = mat["p"]
-        fa = _apply_block(_to_planes(a, p), mat["F"], p)
-        fb = _apply_block(_to_planes(b, p), mat["F"], p)
-        parts.append(_apply_block(_to_planes(_modmul(fa, fb, p), p), mat["G"], p))
-    d = carry_pass(_garner_to_digits(*parts))
+    if M <= TIER1_MAX_M:
+        # dense single-matmul transforms: best MXU shape at moderate M
+        mats = _matrices(M)
+        for mat in mats:
+            p, k = mat["p"], mat["k"]
+            fa = _apply_block(_to_planes(a, p, k), mat["F"], p, k)
+            fb = _apply_block(_to_planes(b, p, k), mat["F"], p, k)
+            parts.append(
+                _apply_block(_to_planes(_modmul(fa, fb, p), p, k), mat["G"], p, k)
+            )
+    else:
+        # 4-step transforms: O(M^1.5) matmul work, kilobyte-scale matrices
+        mats = _ntt4_mats(M)
+        for mat in mats:
+            p = mat["p"]
+            fa = _ntt4_fwd(a, mat)
+            fb = _ntt4_fwd(b, mat)
+            parts.append(_ntt4_inv(_modmul(fa, fb, p), mat))
+    primes = tuple(mat["p"] for mat in mats)
+    d = carry_pass(_garner_to_digits(parts, primes))
     return normmod(d) if canonical else d

@@ -21,15 +21,21 @@ import numpy as np
 
 
 def _timed(fn, *args, reps: int = 3) -> tuple[float, object]:
-    """Median-free simple timing: chained reps with a closing scalar fetch."""
+    """Chained timing with ONE closing fetch: a per-rep fetch would add the
+    tunnel's full round trip (~30 ms measured) to every stage.  Each rep's
+    first input gains a data dependency on the previous output (a scalar
+    that is always zero, which the runtime cannot know without executing),
+    so reps serialize without host round trips and cannot be deduplicated."""
     import jax.numpy as jnp
 
     out = fn(*args)
-    _ = int(jnp.sum(out))          # compile + one real execution
+    _ = int(jnp.sum(out))          # compile + one real fetched execution
+    dep = jnp.zeros((), args[0].dtype)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-        _ = int(jnp.sum(out))      # fetch forces completion each rep
+        out = fn(args[0] + dep, *args[1:])
+        dep = out[(0,) * out.ndim] * 0
+    _ = int(dep)                   # single fetch closes the chain
     dt = (time.perf_counter() - t0) / reps
     return dt, out
 

@@ -10,7 +10,13 @@ import pytest
 import jax.numpy as jnp
 
 from mpir_fft_tpu.ops.limb import DIGIT_BITS, int_from_digits, normmod
-from mpir_fft_tpu.ops.ntt import PRIMES, _psi, mulmod_ntt, ntt_supported
+from mpir_fft_tpu.ops.ntt import (
+    PRIMES,
+    PRIMES_T2,
+    _psi,
+    mulmod_ntt,
+    ntt_supported,
+)
 from mpir_fft_tpu.ops.pointwise import mulmod_base
 
 
@@ -35,9 +41,15 @@ def test_primes_and_roots():
         psi = _psi(p, 1024)
         assert pow(psi, 1024, p) == p - 1
         assert pow(psi, 2048, p) == 1
+    for p in PRIMES_T2:
+        assert (p - 1) % 16384 == 0
+        assert all(p % d for d in range(2, int(p**0.5) + 1))
+        psi = _psi(p, 4096)
+        assert pow(psi, 4096, p) == p - 1
+        assert pow(psi, 8192, p) == 1
 
 
-@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024, 2048])
+@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024, 2048, 4096])
 def test_mulmod_ntt_canonical(rng, M):
     for _ in range(3):
         a = rng.integers(0, 1 << 16, (2, M)).astype(np.int32)
@@ -47,7 +59,7 @@ def test_mulmod_ntt_canonical(rng, M):
             check(got[i], ref_mulmod(a[i], b[i], M), M)
 
 
-@pytest.mark.parametrize("M", [16, 128])
+@pytest.mark.parametrize("M", [16, 128, 4096])
 def test_mulmod_ntt_redundant(rng, M):
     """Redundant signed digits far beyond canonical range (the transform
     invariant feeds |digit| ~ 2^17; stress to ~2^24)."""
@@ -96,5 +108,5 @@ def test_ntt_output_bounded(rng):
 
 
 def test_ntt_supported():
-    assert ntt_supported(2048) and ntt_supported(4)
-    assert not ntt_supported(4096) and not ntt_supported(48)
+    assert ntt_supported(2048) and ntt_supported(4) and ntt_supported(4096)
+    assert not ntt_supported(8192) and not ntt_supported(48)
