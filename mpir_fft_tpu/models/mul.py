@@ -238,9 +238,18 @@ def _staged_flagship(plan: MulPlan):
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
 
     @jax.jit
-    def fwd(d):
-        ia = fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+    def split_prog(d):
+        return fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+
+    # donating the coefficient slab into the transform lets XLA reuse the
+    # multi-GB buffer for stage outputs -- the 2x10^9-bit fwd otherwise
+    # exceeds HBM during compile
+    @functools.partial(jax.jit, donate_argnums=0)
+    def tf_prog(ia):
         return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)[..., :t, :]
+
+    def fwd(d):
+        return tf_prog(split_prog(d))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def pw_chunk(fa, fb):

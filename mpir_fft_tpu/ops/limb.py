@@ -167,6 +167,31 @@ def _exact_carries(d: jax.Array) -> tuple[jax.Array, jax.Array]:
     return cin, cout_all[..., -1]
 
 
+def exact_carries_nonneg(d: jax.Array) -> jax.Array:
+    """Exact incoming carry per digit for NONNEGATIVE d in [0, 2^17):
+    carries are binary, so the scan runs on two uint8 generate/propagate
+    planes instead of the 3-wide int32 carry triple -- 24x less memory,
+    which is what lets the final combine canonicalize multi-10^8-digit
+    outputs in HBM (the triple blew 7.4 GB at 2x10^9 bits).
+
+    Returns cin (same shape, values {0,1}); the caller must guarantee the
+    final carry dies (value fits the vector), as in canonicalize_plain."""
+    g = (d >> DIGIT_BITS).astype(jnp.uint8)             # d < 2^17: {0, 1}
+    p = ((d & DIGIT_MASK) == DIGIT_MASK).astype(jnp.uint8)
+    L = d.shape[-1]
+    k = 1
+    while k < L:
+        gp = jnp.concatenate([jnp.zeros_like(g[..., :k]), g[..., :-k]], axis=-1)
+        pp = jnp.concatenate([jnp.ones_like(p[..., :k]), p[..., :-k]], axis=-1)
+        g = g | (p & gp)
+        p = p & pp
+        k *= 2
+    cin = jnp.concatenate(
+        [jnp.zeros_like(g[..., :1]), g[..., :-1]], axis=-1
+    )
+    return cin.astype(d.dtype)
+
+
 def normmod(x: jax.Array) -> jax.Array:
     """Canonicalize to the form described in the module docstring.
 

@@ -17,7 +17,7 @@ import numpy as np
 
 import jax.numpy as jnp
 
-from .limb import DIGIT_BITS, DIGIT_MASK, _exact_carries
+from .limb import DIGIT_BITS, DIGIT_MASK, exact_carries_nonneg
 
 
 def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
@@ -136,6 +136,5 @@ def canonicalize_plain(x):
     c = x >> DIGIT_BITS
     r = x - (c << DIGIT_BITS)
     x = r + jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
-    cin, _ = _exact_carries(x)
-    r = x + cin
+    r = x + exact_carries_nonneg(x)
     return r - ((r >> DIGIT_BITS) << DIGIT_BITS)
