@@ -36,17 +36,18 @@ import jax.numpy as jnp
 
 from .limb import DIGIT_BITS, normmod, shift_mod
 from .negacyclic import fft_negacyclic, ifft_negacyclic, negacyclic_scale
-from .pointwise import mulmod_base
+from .pointwise import base_serves, mulmod_base
 from .split import fft_combine_bits, fft_split_bits
 from .transforms import _as_col
 
 # crossover in ring bits below which the direct base multiply (MXU NTT-CRT,
 # ops/ntt.py; VPU schoolbook fallback) beats a recursion level
 # (ref: limbs < 250 -> mpn_mulmod_2expp1, mul_fft.c:3135-3139; the value is a
-# tunable like the reference's 250-limb threshold).  65536 = the NTT's
-# M = 4096 (tier-2 primes) ceiling; one dense int8 matmul beats a whole
-# recursive pipeline of dispatches at every width the NTT covers.
-MULMOD_BASE_MAX_BITS = 65536
+# tunable like the reference's 250-limb threshold).  131072 = the NTT's
+# M = 8192 (tier-2 primes, 4-step) ceiling; the MXU matmul pipeline beats a
+# whole recursive pipeline of dispatches at every width the NTT covers,
+# and the higher crossover flattens recursion for ~10^10-bit operands.
+MULMOD_BASE_MAX_BITS = 131072
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,13 +98,21 @@ def mulmod_plan(N: int, depth: int | None = None) -> MulmodPlan | None:
         plan = MulmodPlan(N, d, b, Wp, Wp // npp)
         Lp = plan.Lp
         fft_cost = 3 * m * Lp * (d + 1) * 3
-        if Wp <= MULMOD_BASE_MAX_BITS:
+        if Wp <= MULMOD_BASE_MAX_BITS and base_serves(Lp):
+            # mirror params.plan_cost: the MXU NTT-CRT is ~10x cheaper per
+            # MAC than the VPU schoolbook; either beats a recursion level
+            from .ntt import ntt_supported
+
             pw_cost = m * (2 * Lp) ** 2 // 8
+            if ntt_supported(Lp):
+                pw_cost //= 10
         else:
             # another recursion level costs a whole extra pipeline of
             # dispatches and normalizations (measured 10x at 10^9-bit
             # shapes): strongly prefer depths whose pointwise reaches the
-            # schoolbook base directly
+            # base path directly.  Widths the base CANNOT serve (non-pow2
+            # Lp in (2048, 4096], or NTT off at Lp > 2048) are priced as
+            # recursion -- they recurse through mulmod()
             pw_cost = 64 * m * Lp * max(1, Wp.bit_length())
         cost = fft_cost + pw_cost
         if best_cost is None or cost < best_cost:
@@ -216,9 +225,14 @@ def mulmod(x, y, N: int, depth: int | None = None, canonical: bool = False):
     Inputs may be redundant (|digit| <= ~2^17) or canonical; with
     canonical=False (the transform-internal default) the base path also
     returns bounded redundant digits, skipping the normalization scan."""
-    assert x.shape[-1] == y.shape[-1] == N // DIGIT_BITS
+    L = N // DIGIT_BITS
+    assert x.shape[-1] == y.shape[-1] == L
     plan = None
-    if N > MULMOD_BASE_MAX_BITS:
+    if N > MULMOD_BASE_MAX_BITS or not base_serves(L):
+        # rings the base path cannot serve (non-pow2 L in (2048, 4096], or
+        # the NTT disabled at L > 2048) recurse through the FFT path even
+        # below the size crossover -- the selector must never hand
+        # mulmod_base a shape it asserts on (ADVICE r1)
         plan = mulmod_plan(N, depth)
     if plan is None:
         return mulmod_base(x, y, canonical=canonical)

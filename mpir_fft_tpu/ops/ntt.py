@@ -23,15 +23,15 @@ magnitude (measured: 472ms -> ~50ms for the 10^8-bit pointwise stage).
 Exact-arithmetic scheme (everything int32/int8, no floats):
 
 * Two prime tiers (see _tier): (12289, 40961, 61441) == 1 mod 4096 covers
-  M <= 2048 with P ~ 2^43.8; (65537, 114689, 163841) == 1 mod 16384 covers
-  M <= 8192 with P ~ 2^50.1 (below 2^16 only 40961 has 8192 | p-1, so wider
-  rings need the ~17-bit primes; above NTT_MAX_M the recursive Fermat path
-  takes over).
+  M <= 2048 with P ~ 2^44.8 (P/2 ~ 2^43.8); (65537, 114689, 163841) == 1
+  mod 16384 covers M <= 8192 with P ~ 2^50.1 (P/2 ~ 2^49.1) (below 2^16
+  only 40961 has 8192 | p-1, so wider rings need the ~17-bit primes; above
+  NTT_MAX_M the recursive Fermat path takes over).
 * Inputs get one BALANCED carry pass (digits recentered to [-2^15, 2^15]
   with the carry injected negacyclically), bounding digits below
   2^15 + 2^9 + 2 for any redundant input bounded by 2^25; negacyclic
   coefficients then satisfy |c| <= M * (2^15 + 2^9 + 2)^2: < 2^41.1 at
-  M = 2048 (tier-1 P/2 ~ 2^42.8) and < 2^42.1 at M = 4096 (tier-2
+  M = 2048 (tier-1 P/2 ~ 2^43.8) and < 2^42.1 at M = 4096 (tier-2
   P/2 ~ 2^49.1).
 * A value v mod p enters a matmul as k signed-int8 planes
   v = v0 + 256*v1 (+ 65536*v2), k = 2 for tier-1 (p < 2^16), k = 3 for
@@ -66,10 +66,15 @@ from .limb import DIGIT_BITS, _wrap_inject, carry_pass, normmod
 # Tier 2: sub-2^17.4 primes == 1 mod 16384 (M <= 8192; only 40961 reaches
 # M=4096 below 2^16, so wider rings need wider primes), values take THREE
 # planes -- 2.25x the matmul work, still far cheaper than a recursion level.
-PRIMES = (12289, 40961, 61441)       # P ~ 2^43.8; |c| < P/2 up to M = 2048
+PRIMES = (12289, 40961, 61441)       # P ~ 2^44.8; |c| < P/2 up to M = 2048
 PRIMES_T2 = (65537, 114689, 163841)  # P ~ 2^50.1; |c| < P/2 up to M = 8192
 TIER1_MAX_M = 2048
-NTT_MAX_M = 4096                 # tier-2 ceiling (M=8192 matrices: 3.6 GB HBM)
+# tier-2 ceiling: the 4-step path's matrices are [3*m1, 3*m1] kilobyte-scale
+# blocks, so M = 8192 costs no dense-matrix HBM (the round-1 cap of 4096 was
+# sized for dense [kM, kM] blocks).  Bounds at M = 8192: negacyclic
+# |c| <= M*(2^15+2^9+2)^2 ~ 2^43.1 < P/2 ~ 2^49.1; matmul partial sums
+# |S_j| <= 3M*127^2 ~ 2^28.6 < 2^31 (int32-exact).
+NTT_MAX_M = 8192
 
 
 def _tier(M: int) -> tuple[tuple[int, int, int], int]:

@@ -72,6 +72,17 @@ def _use_ntt() -> bool:
     return os.environ.get("MPIR_FFT_NTT", "1").lower() not in ("0", "off", "false")
 
 
+def base_serves(L: int) -> bool:
+    """Can mulmod_base serve an L-digit ring?  The NTT path needs a
+    power-of-two L within the prime tiers' ceiling (and MPIR_FFT_NTT on);
+    the schoolbook chunk path needs 2L <= 4096 (int32 accumulation bound).
+    Everything else must go through the recursive Fermat path -- the
+    selector's job (ref fft_mulmod_2expp1, mul_fft.c:3125-3167)."""
+    from .ntt import ntt_supported
+
+    return (ntt_supported(L) and _use_ntt()) or 2 * L <= 4096
+
+
 def mulmod_base(a, b, canonical: bool = True):
     """(a * b) mod 2^(16L)+1 on digit vectors [..., L].
 

@@ -132,17 +132,19 @@ def plan_cost(plan: MulPlan) -> float:
     W=32768 NTT plan 5.3 s vs W=65536 recursive plan 11.5 s)."""
     from mpir_fft_tpu.ops.mulmod import MULMOD_BASE_MAX_BITS
     from mpir_fft_tpu.ops.ntt import ntt_supported
+    from mpir_fft_tpu.ops.pointwise import _use_ntt
 
     L = plan.W // DIGIT_BITS
     t = plan.trunc
     fft_cost = 3 * t * L * plan.lg_conv * 3
     pw_unit = t * (2 * L) ** 2 // 8
-    if plan.W <= MULMOD_BASE_MAX_BITS and ntt_supported(L):
+    if plan.W <= MULMOD_BASE_MAX_BITS and ntt_supported(L) and _use_ntt():
         pw_cost = pw_unit * 0.1          # MXU dense NTT
-    elif plan.W <= MULMOD_BASE_MAX_BITS:
+    elif plan.W <= MULMOD_BASE_MAX_BITS and 2 * L <= 4096:
         pw_cost = pw_unit * 1.0          # VPU schoolbook
     else:
-        pw_cost = pw_unit * 0.3          # recursive Fermat mulmod
+        pw_cost = pw_unit * 0.3          # recursive Fermat mulmod (also the
+        # route for below-crossover widths the base path cannot serve)
     return 3 * fft_cost + pw_cost
 
 

@@ -101,12 +101,51 @@ def test_mulmod_fft_path_oracle(N, depth, rng):
         assert got == oracle.canon(a * b, N), (N, depth)
 
 
+def test_mulmod_nonpow2_routes_to_fft():
+    """Rings whose L the base path cannot serve (non-pow2 L in (2048, 4096])
+    must trace through the recursive FFT path instead of asserting
+    (round-1 coverage hole: W=49152 -> L=3072 crashed; ADVICE r1)."""
+    import jax
+
+    for N in (49152, 39168):   # L = 3072, 2448
+        L = N // DIGIT_BITS
+        spec = jax.ShapeDtypeStruct((1, L), jnp.int32)
+        out = jax.eval_shape(lambda a, b, N=N: mulmod(a, b, N), spec, spec)
+        assert out.shape == (1, L)
+
+
+@pytest.mark.slow
+def test_mulmod_nonpow2_inner_ring_exec(rng):
+    """Executed bit-exactness at a non-pow2-L ring below the crossover."""
+    N = 39168   # L = 2448: no NTT (non-pow2), no schoolbook (2L > 4096)
+    L = N // DIGIT_BITS
+    a, b = _rand_residue(rng, N), _rand_residue(rng, N)
+    da = jnp.asarray(digits_from_int(oracle.canon(a, N), L))
+    db = jnp.asarray(digits_from_int(oracle.canon(b, N), L))
+    got = vals_of(mulmod(da[None], db[None], N), N)[0]
+    assert got == oracle.canon(a * b, N)
+
+
+@pytest.mark.slow
+def test_mulmod_ntt_off_wide_ring(rng, monkeypatch):
+    """MPIR_FFT_NTT=0 must not crash at W=65536 (L=4096 > schoolbook limit):
+    the ring recurses instead (round-1: pointwise.py assert fired)."""
+    monkeypatch.setenv("MPIR_FFT_NTT", "0")
+    N = 65536
+    L = N // DIGIT_BITS
+    a, b = _rand_residue(rng, N), _rand_residue(rng, N)
+    da = jnp.asarray(digits_from_int(oracle.canon(a, N), L))
+    db = jnp.asarray(digits_from_int(oracle.canon(b, N), L))
+    got = vals_of(mulmod(da[None], db[None], N), N)[0]
+    assert got == oracle.canon(a * b, N)
+
+
 def test_mulmod_batched(rng):
     """One mulmod call over a batch == per-element products."""
-    N = 8192
+    N = 4096
     L = N // DIGIT_BITS
-    plan = mulmod_plan(N)
-    vals = [( _rand_residue(rng, N), _rand_residue(rng, N)) for _ in range(5)]
+    plan = mulmod_plan(N, depth=3)
+    vals = [( _rand_residue(rng, N), _rand_residue(rng, N)) for _ in range(3)]
     da = jnp.stack([jnp.asarray(digits_from_int(oracle.canon(a, N), L)) for a, _ in vals])
     db = jnp.stack([jnp.asarray(digits_from_int(oracle.canon(b, N), L)) for _, b in vals])
     got = vals_of(mulmod_fft(da, db, plan), N)

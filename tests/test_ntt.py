@@ -49,7 +49,7 @@ def test_primes_and_roots():
         assert pow(psi, 8192, p) == 1
 
 
-@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024, 2048, 4096])
+@pytest.mark.parametrize("M", [4, 16, 64, 256, 1024, 2048, 4096, 8192])
 def test_mulmod_ntt_canonical(rng, M):
     for _ in range(3):
         a = rng.integers(0, 1 << 16, (2, M)).astype(np.int32)
@@ -108,5 +108,5 @@ def test_ntt_output_bounded(rng):
 
 
 def test_ntt_supported():
-    assert ntt_supported(2048) and ntt_supported(4) and ntt_supported(4096)
-    assert not ntt_supported(8192) and not ntt_supported(48)
+    assert ntt_supported(2048) and ntt_supported(4) and ntt_supported(8192)
+    assert not ntt_supported(16384) and not ntt_supported(48)
