@@ -56,7 +56,7 @@ def test_driver_exact(kind, ba, bb, depth, rng):
 
 def test_flagship_auto_plan(rng):
     """Planner-chosen parameters (the path mul() takes)."""
-    a, b = rand_int(rng, 30000), rand_int(rng, 22000)
+    a, b = rand_int(rng, 14000), rand_int(rng, 11000)
     assert run_driver("flagship", a, b) == a * b
 
 
@@ -83,6 +83,47 @@ def test_staged_flagship_matches_monolithic(rng, monkeypatch):
         assert run_driver("flagship", a, b, 3) == a * b
     finally:
         M._staged_flagship.cache_clear()
+
+
+@pytest.mark.parametrize(
+    "bits",
+    [10**6,
+     pytest.param(10**7, marks=pytest.mark.slow),
+     pytest.param(10**8, marks=pytest.mark.slow)],
+)
+def test_planner_plans_all_traceable(bits):
+    """Every (depth +-3, sqrt2) plan the tuner can propose traces without
+    assertion (round 1: depth-8 10^7 sqrt2 hit a pointwise hole, W=39168).
+    eval_shape only -- no compile."""
+    import jax
+
+    from mpir_fft_tpu.models.mul import mpn_mul_flagship, mpn_mul_trunc
+
+    for sqrt2 in (True, False):
+        d0 = choose_params(bits, bits, sqrt2).depth
+        for d in range(max(2, d0 - 3), d0 + 4):
+            try:
+                plan = plan_for_depth(bits, bits, d, sqrt2)
+            except AssertionError:
+                continue
+            La = cdiv(bits, DIGIT_BITS)
+            fn = mpn_mul_flagship if sqrt2 else mpn_mul_trunc
+            s = jax.ShapeDtypeStruct((La,), jnp.int32)
+            jax.eval_shape(lambda a, b, plan=plan, fn=fn: fn(a, b, plan), s, s)
+
+
+def test_tuner_fast(tmp_path, monkeypatch):
+    """Tuner mechanics (measure, pick, cache) on two candidates only."""
+    monkeypatch.setenv("MPIR_FFT_TUNE_CACHE", str(tmp_path / "tc.json"))
+    from mpir_fft_tpu.utils import tune
+
+    full = tune.candidate_plans(20000, 20000, sqrt2=True)
+    monkeypatch.setattr(tune, "candidate_plans",
+                        lambda *a, **k: full[:2])
+    plan = tune.tuned_plan(20000, 20000, "flagship", reps=1)
+    assert plan.sqrt2
+    plan2 = tune.tuned_plan(20000, 20000, "flagship", reps=1)
+    assert (plan2.depth, plan2.w) == (plan.depth, plan.w)
 
 
 def test_tuner_candidates_and_cache(rng, tmp_path, monkeypatch):

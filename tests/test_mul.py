@@ -55,15 +55,24 @@ def test_mul_exact(ba, bb, rng):
     assert mul(a, b) == a * b
 
 
-def test_mul_driver_various_depths(rng):
+def _run_depths(rng, depths):
     ba = bb = 30000
     a, b = rand_bits(rng, ba), rand_bits(rng, bb)
-    for depth in (3, 4, 5, 6):
+    for depth in depths:
         plan = plan_for_depth(ba, bb, depth)
         da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
         db = jnp.asarray(digits_from_int(b, cdiv(bb, DIGIT_BITS)))
         out = mpn_mul_radix2(da, db, plan)
         assert int_from_digits(np.asarray(out)) == a * b, depth
+
+
+def test_mul_driver_various_depths(rng):
+    _run_depths(rng, (3, 4))
+
+
+@pytest.mark.slow
+def test_mul_driver_various_depths_deep(rng):
+    _run_depths(rng, (5, 6))
 
 
 def test_mul_small_fallback(rng):
