@@ -44,6 +44,12 @@ MAX_FUSED_L = 1024
 # stack, so they scale to much wider digit vectors
 MAX_STAGE_L = 8192
 STAGE_FUDGE = 14
+# how many consecutive butterfly stages one ladder kernel fuses (the classic
+# multi-stage FFT ladder): 2^LADDER positions stay VMEM-resident through
+# LADDER stages, cutting the transform's HBM round trips by that factor at
+# rings wider than MAX_FUSED_L.  Bounded by Mosaic compile time (the kernel
+# body unrolls LADDER barrel-shift twiddles), not VMEM.
+LADDER = 3
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
@@ -155,31 +161,47 @@ def fused_batched(fn, x, out_shape=None):
     )(x)
 
 
-def fused_batched_idx(fn, x):
+def fused_batched_idx(fn, x, scalar=None):
     """Like fused_batched, but fn(block, start) also receives the absolute
     start index of its batch block (traced scalar) -- for per-batch-row
-    twiddle tables (MFA cross exponents)."""
+    twiddle tables (MFA cross exponents).
+
+    `scalar`: optional traced int32 (e.g. a shard_map device offset); it is
+    fed to the kernel through SMEM (Pallas kernels cannot close over traced
+    values) and fn is called as fn(block, start, scalar)."""
     B, C, L = x.shape
     per_row = TEMP_FUDGE * _padded_row_bytes(C, L, x.dtype.itemsize)
     block = max(1, min(B, VMEM_SCOPED_LIMIT // per_row))
     while B % block:
         block -= 1
     fn = _guarded(fn)
+    has_sc = scalar is not None
 
-    def kernel(x_ref, o_ref):
+    def kernel(*refs):
         start = pl.program_id(0) * block
-        o_ref[:] = fn(x_ref[:], start)
+        if has_sc:
+            sc_ref, x_ref, o_ref = refs
+            o_ref[:] = fn(x_ref[:], start, sc_ref[0])
+        else:
+            x_ref, o_ref = refs
+            o_ref[:] = fn(x_ref[:], start)
 
+    blk_spec = pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [blk_spec]
+    ins = [x]
+    if has_sc:
+        in_specs.insert(0, pl.BlockSpec(memory_space=pltpu.SMEM))
+        ins.insert(0, jnp.asarray(scalar, jnp.int32).reshape(1))
     return pl.pallas_call(
         kernel,
         grid=(B // block,),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        in_specs=[pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((block, C, L), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(x)
+    )(*ins)
 
 
 def maybe_fused(fn, x):
@@ -189,83 +211,86 @@ def maybe_fused(fn, x):
     return fn(x)
 
 
-def _pick_stage_blocks(N: int, h: int, L: int, itemsize: int = 4):
-    """(nb, hb) batch/position block sizes for a per-stage butterfly kernel:
-    nb*hb rows of padded width L fit the scoped-VMEM budget with one stage's
-    live temps (STAGE_FUDGE buffers).  h is a power of two."""
-    Lpad = -(-L // 128) * 128
-    R = max(1, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * itemsize))
-    hb = min(h, 1 << max(0, R.bit_length() - 1))
-    while h % hb:
-        hb //= 2
-    nb = max(1, min(N, R // hb))
-    while N % nb:
-        nb -= 1
-    return nb, hb
+def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
+    """k = len(steps) consecutive FFT stages' butterflies in ONE kernel pass
+    (the classic multi-stage ladder): a VMEM block spanning K = 2^k tree
+    positions stays resident through all k stages, so the coefficient matrix
+    makes one HBM round trip per GROUP instead of one per stage.  This is
+    what makes rings wider than MAX_FUSED_L (whose whole-transform kernels
+    blow the Mosaic compile budget) fast.
 
+    xp: (N, K, h, L) int32 -- each batch row holds one length-(K*h) DIF
+    block group; position p of the block sits at K-index p // h, h-index
+    p % h.  Stage j (forward execution order) pairs K-indices (q, q+m),
+    m = K >> (j+1), with twiddle exponent i * steps[j] for
+    i = (q % m) * h + hpos (hpos = absolute h-index), built from iota inside
+    the kernel.  kind 'fwd' runs j = 0..k-1 (ref FFT_radix2 recursion
+    levels, mul_fft.c:786-827); 'inv' runs j = k-1..0 with inverse
+    butterflies (ref IFFT_radix2, mul_fft.c:1444-1486).
 
-def fused_butterfly_stage(kind: str, xp, step: int, W: int, pe=None):
-    """One whole FFT stage's butterflies in a single Pallas kernel pass.
-
-    The unfused stage costs ~a dozen HBM round trips (the per-row twiddle is
-    a log2(L)-round barrel shifter, each round a full-array select+roll);
-    here the barrel runs on VMEM blocks, so the stage makes exactly one HBM
-    round trip.  This is what makes rings wider than MAX_FUSED_L (whose
-    whole-transform kernels blow the Mosaic stack) fast.
-
-    xp: (N, 2, h, L) int32 -- the stage's DIF pair layout, xp[:, 0] = a,
-    xp[:, 1] = b; returned in the same layout (s at [:, 0], t at [:, 1]), so
-    the surrounding reshapes are pure views and the stage makes exactly one
-    read and one write of the coefficient matrix.  The per-row exponent is
-    i*step for absolute position i in [0, h) (identical across the N
-    batch/DIF-block axis), built from iota inside the kernel.  pe: optional
-    (N, 2, h) extra exponent table (the fused last/first-stage twiddles of
-    FFT/IFFT_radix2_twiddle, ref mul_fft.c:1406-1419, 1964-2010).
-    kind 'fwd': s = (a+b) [* 2^pe[:,0]], t = (a-b) * 2^(i*step + pe[:,1]).
-    kind 'inv': a = s' + t/2^(i*step+pe[:,1]), b = s' - t/..., with
-    s' = s / 2^pe[:,0] (ref mul_fft.c:721-752)."""
+    pe: optional (N, K//2, 2) exponent table for the INNERMOST stage
+    (j = k-1, where m == 1) -- the fused last/first-stage twiddles of
+    FFT/IFFT_radix2_twiddle (ref mul_fft.c:1406-1419, 1964-2010); callers
+    pass it only when the group ends at the transform's last stage (h == 1).
+    fwd: s = (a+b) * 2^pe[:,:,0], t = (a-b) * 2^(i*step + pe[:,:,1]).
+    inv: s' = s / 2^pe[:,:,0], t' = t / 2^(i*step + pe[:,:,1])."""
     from .butterfly import butterfly_fwd, butterfly_inv
     from .transforms import no_auto_fuse
 
-    N, two, h, L = xp.shape
-    assert two == 2
-    nb, hb = _pick_stage_blocks(2 * N, h, L)
-    nb = max(1, nb // 2)
+    N, K, h, L = xp.shape
+    k = K.bit_length() - 1
+    assert K == 1 << k and len(steps) == k
+    has_pe = pe is not None
+    assert not has_pe or h == 1, "pe is a last-stage (h == 1) table"
+
+    Lpad = -(-L // 128) * 128
+    R = max(K, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * xp.dtype.itemsize))
+    hb = min(h, 1 << max(0, (R // K).bit_length() - 1))
+    while h % hb:
+        hb //= 2
+    nb = max(1, min(N, R // (K * hb)))
     while N % nb:
         nb -= 1
     grid = (N // nb, h // hb)
-    spec = pl.BlockSpec((nb, 2, hb, L), lambda i, j: (i, 0, j, 0),
+    spec = pl.BlockSpec((nb, K, hb, L), lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
-    spec_pe = pl.BlockSpec((nb, 2, hb), lambda i, j: (i, 0, j),
+    spec_pe = pl.BlockSpec((nb, K // 2, 2), lambda i, j: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    has_pe = pe is not None
+
+    order = range(k) if kind == "fwd" else range(k - 1, -1, -1)
 
     def kernel(*refs):
-        x_blk = refs[0][...]
-        a_blk, b_blk = x_blk[:, 0], x_blk[:, 1]
-        pes = pet = None
-        if has_pe:
-            pe_blk = refs[1][...]
-            pes = pe_blk[:, 0][..., None]
-            pet = pe_blk[:, 1][..., None]
+        x = refs[0][...]
+        pe_blk = refs[1][...] if has_pe else None
         o_ref = refs[-1]
-        i = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
-            jnp.int32, (1, hb, 1), 1)
-        e = i * jnp.int32(step)
         with no_auto_fuse():
-            if kind == "fwd":
-                e_t = e if pet is None else e + pet
-                s, t = butterfly_fwd(a_blk, b_blk, e_t, W, e_s=pes)
-            else:
-                s, t = butterfly_inv(a_blk, b_blk, e, W, e_s=pes, e_t=pet)
-        o_ref[...] = jnp.stack([s, t], axis=1)
+            for j in order:
+                m = K >> (j + 1)
+                xr = x.reshape(nb, K // (2 * m), 2, m, hb, L)
+                a, b = xr[:, :, 0], xr[:, :, 1]
+                qm = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, m, hb, 1), 2)
+                hpos = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, m, hb, 1), 3)
+                e = (qm * jnp.int32(h) + hpos) * jnp.int32(steps[j])
+                pes = pet = None
+                if has_pe and j == k - 1:   # m == 1, hb == 1
+                    pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
+                    pet = pe_blk[:, :, 1].reshape(nb, K // 2, 1, 1, 1)
+                if kind == "fwd":
+                    e_t = e if pet is None else e + pet
+                    s, t = butterfly_fwd(a, b, e_t, W, e_s=pes)
+                else:
+                    s, t = butterfly_inv(a, b, e, W, e_s=pes, e_t=pet)
+                x = jnp.stack([s, t], axis=2).reshape(nb, K, hb, L)
+        o_ref[...] = x
 
     in_specs = [spec] + ([spec_pe] if has_pe else [])
     ins = [xp] + ([pe] if has_pe else [])
     return pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=jax.ShapeDtypeStruct((N, 2, h, L), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((N, K, h, L), xp.dtype),
         in_specs=in_specs,
         out_specs=spec,
         interpret=_interpret(),

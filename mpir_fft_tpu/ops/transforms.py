@@ -124,7 +124,26 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
-    stage_fuse = _stage_fusable(x)
+    if _stage_fusable(x):
+        # multi-stage ladder kernels: LADDER stages share one HBM round trip
+        from .fused import LADDER, fused_butterfly_ladder
+
+        l = 0
+        while l < D:
+            kg = min(LADDER, D - l)
+            K = 1 << kg
+            hk = C >> (l + kg)
+            steps = tuple(w << (l + j) for j in range(kg))
+            pe = None
+            if l + kg == D and post_exps is not None:
+                pe = post_exps.reshape(pe_lead + (1 << l, K // 2, 2)) % (2 * W)
+                pe = jnp.broadcast_to(
+                    pe, lead + (1 << l, K // 2, 2)).reshape(-1, K // 2, 2)
+            x = fused_butterfly_ladder(
+                "fwd", x.reshape((-1, K, hk, L)), steps, W, pe
+            ).reshape(lead + (C, L))
+            l += kg
+        return x
     for l in range(D):
         h = C >> (l + 1)
         blocks = 1 << l
@@ -132,15 +151,6 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         pe = None
         if l == D - 1 and post_exps is not None:
             pe = post_exps.reshape(pe_lead + (blocks, 2, h)) % (2 * W)
-        if stage_fuse:
-            from .fused import fused_butterfly_stage
-
-            if pe is not None:
-                pe = jnp.broadcast_to(pe, lead + (blocks, 2, h)).reshape(-1, 2, h)
-            x = fused_butterfly_stage(
-                "fwd", xr.reshape((-1, 2, h, L)), w << l, W, pe
-            ).reshape(lead + (C, L))
-            continue
         a = xr[..., 0, :, :]
         b = xr[..., 1, :, :]
         e_t = _iota_exps(h, w << l)                      # i * w * 2^l bits
@@ -179,7 +189,28 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         return x
     lead = x.shape[:-2]
     L = x.shape[-1]
-    stage_fuse = _stage_fusable(x)
+    if _stage_fusable(x):
+        # multi-stage ladder kernels, innermost group first (mirror of the
+        # forward grouping; pre_exps rides the first-executed group)
+        from .fused import LADDER, fused_butterfly_ladder
+
+        l_hi = D
+        while l_hi > 0:
+            kg = min(LADDER, l_hi)
+            l = l_hi - kg
+            K = 1 << kg
+            hk = C >> l_hi
+            steps = tuple(w << (l + j) for j in range(kg))
+            pe = None
+            if l_hi == D and pre_exps is not None:
+                pe = pre_exps.reshape(pe_lead + (1 << l, K // 2, 2)) % (2 * W)
+                pe = jnp.broadcast_to(
+                    pe, lead + (1 << l, K // 2, 2)).reshape(-1, K // 2, 2)
+            x = fused_butterfly_ladder(
+                "inv", x.reshape((-1, K, hk, L)), steps, W, pe
+            ).reshape(lead + (C, L))
+            l_hi = l
+        return x
     for l in range(D - 1, -1, -1):
         h = C >> (l + 1)
         blocks = 1 << l
@@ -187,15 +218,6 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         pe = None
         if l == D - 1 and pre_exps is not None:
             pe = pre_exps.reshape(pe_lead + (blocks, 2, h)) % (2 * W)
-        if stage_fuse:
-            from .fused import fused_butterfly_stage
-
-            if pe is not None:
-                pe = jnp.broadcast_to(pe, lead + (blocks, 2, h)).reshape(-1, 2, h)
-            x = fused_butterfly_stage(
-                "inv", xr.reshape((-1, 2, h, L)), w << l, W, pe
-            ).reshape(lead + (C, L))
-            continue
         s = xr[..., 0, :, :]
         t = xr[..., 1, :, :]
         e = _iota_exps(h, w << l)
