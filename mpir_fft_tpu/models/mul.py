@@ -68,7 +68,9 @@ def _pointwise(fa, fb, W: int, recursive: bool):
     base path multiplies them exactly and the recursive path normalizes
     internally, so no normmod scan happens here at all (unlike the
     reference's per-coefficient mpn_normmod_2expp1, mul_fft.c:3626-3654)."""
-    if recursive:
+    from mpir_fft_tpu.ops.pointwise import base_serves
+
+    if recursive or not base_serves(W // DIGIT_BITS):
         return mulmod(fa, fb, W)
     return mulmod_base(fa, fb, canonical=False)
 
@@ -197,11 +199,14 @@ def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True
     W, n1 = plan.W, plan.n1
     t = plan.trunc_mfa
     ia, ib = _split2(a, b, plan)
-    if constrain is None and ia.shape == ib.shape:
+    if ia.shape == ib.shape:
         # one transform over both stacked operands: halves the traced program
         # (the 10^8-bit graph otherwise OOMs the compiler) and doubles the
-        # fused kernels' batch
-        fab = mfa_fft_trunc_sqrt2(jnp.stack([ia, ib]), plan.w, W, n1, t)
+        # fused kernels' batch; the stacked leading dim is replicated under
+        # sharding (ShardCtx handles arbitrary leading dims)
+        fab = mfa_fft_trunc_sqrt2(
+            jnp.stack([ia, ib]), plan.w, W, n1, t, con=constrain
+        )
         fa, fb = fab[0], fab[1]
     else:
         fa = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)
@@ -234,8 +239,12 @@ _PW_CHUNK_BYTES = 128 << 20
 
 @functools.lru_cache(maxsize=16)
 def _staged_flagship(plan: MulPlan):
+    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+    # row-IFFT root: w * n2 in both w parities (mfa.ifft_mfa_rows docstring)
+    row_w = plan.w * ((plan.conv_len // 2) // n1)
 
     @jax.jit
     def split_prog(d):
@@ -252,8 +261,12 @@ def _staged_flagship(plan: MulPlan):
         return tf_prog(split_prog(d))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def pw_chunk(fa, fb):
-        return _pointwise(fa, fb, W, True)
+    def pw_rows_chunk(fa, fb):
+        # pointwise product immediately feeds its rows' first inverse pass
+        # while they are HBM-hot -- one program, so the raw spectrum never
+        # round-trips HBM between pointwise and inverse (ref combined
+        # variant, mul_fft.c:2745-2923)
+        return ifft_mfa_rows(_pointwise(fa, fb, W, True), row_w, W, n1)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def norm_chunk(c):
@@ -263,7 +276,8 @@ def _staged_flagship(plan: MulPlan):
     def inv_transform(prod):
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
         c = mfa_ifft_trunc_sqrt2(
-            jnp.concatenate([prod, pad], axis=-2), plan.w, W, n1, t)
+            jnp.concatenate([prod, pad], axis=-2), plan.w, W, n1, t,
+            rows_done=True)
         return c[..., :t, :]
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -272,6 +286,7 @@ def _staged_flagship(plan: MulPlan):
 
     rows = max(256, _PW_CHUNK_BYTES // (4 * ring.L))
     rows = min(rows, t)
+    rows = max(n1, (rows // n1) * n1)   # row-IFFT groups must stay whole
 
     def chunked(fn, *xs):
         outs = [fn(*(x[i : i + rows] for x in xs)) for i in range(0, t, rows)]
@@ -279,8 +294,8 @@ def _staged_flagship(plan: MulPlan):
 
     def run(da, db):
         # one operand at a time keeps peak HBM to input + its transform;
-        # pointwise and normalization stream over row chunks
-        prod = chunked(pw_chunk, fwd(da), fwd(db))
+        # pointwise(+row-IFFT) and normalization stream over row chunks
+        prod = chunked(pw_rows_chunk, fwd(da), fwd(db))
         return combine(chunked(norm_chunk, inv_transform(prod)))
 
     return run

@@ -60,9 +60,42 @@ def _cross_exps(n1: int, n2: int, w: int, W: int, j1_start=0) -> jax.Array:
     return (jnp.int32(w) * rb[None, :] * j1) % (2 * W)
 
 
-def _fusable(x, con) -> bool:
-    """Pallas-fuse a pass only when unsharded (con is None) and 3-D."""
-    return con is None and x.ndim == 3 and use_pallas()
+def _block_cross_exps(rows: int, st, n1_mask: int, n2: int, w: int, W: int,
+                      off=0) -> jax.Array:
+    """Cross exps for a fused kernel block of `rows` consecutive flattened
+    batch rows starting at (traced) st: the column index of flat row r is
+    r & n1_mask -- masked AFTER adding the in-block offset, because a VMEM
+    block may span more than one copy of the column axis (blocks bigger
+    than n1 wrap; masking the start alone mis-twiddled every row past the
+    wrap).  `off` adds a global column offset (shard_map device blocks)."""
+    j1 = (st + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)) & n1_mask
+    rb = revbin_iota(n2)
+    return (jnp.int32(w) * rb[None, :] * (off + j1)) % (2 * W)
+
+
+def _shard_ctx(con):
+    """A constrainer that carries (mesh, axis) -- parallel.mfa_sharded's
+    ShardCtx -- turns the column/row passes into shard_map'd device-local
+    programs, so the Pallas VMEM kernels run UNCHANGED on each device's
+    block (round 1 disabled fusion whenever sharded, losing the kernels'
+    ~2.4x; the MFA exists for locality, README:74-91)."""
+    return con if (con is not None and hasattr(con, "mesh")) else None
+
+
+def _local_cols(blk, fcol, n1_loc: int, n2: int, w: int, W: int, off):
+    """Device-local column pass over blk [..., n1_loc, n2, L]; off = global
+    index of the block's first column (traced)."""
+    if use_pallas() and blk.ndim in (3, 4) and blk.shape[-1] <= MAX_FUSED_L:
+        flat = blk.reshape((-1,) + blk.shape[-2:])
+        out = fused_batched_idx(
+            lambda b, st, o: fcol(
+                b, _block_cross_exps(b.shape[0], st, n1_loc - 1, n2, w, W, o)
+            ),
+            flat,
+            scalar=off,
+        )
+        return out.reshape(blk.shape)
+    return fcol(blk, _cross_exps(n1_loc, n2, w, W, off))
 
 
 def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
@@ -70,13 +103,33 @@ def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
     fused into VMEM-resident Pallas kernels when possible (one HBM round
     trip for all log2(n2) stages instead of one per stage-op).  Leading dims
     (e.g. the two stacked operands) flatten into the kernel batch; the
-    column index inside the flattened batch is start & (n1-1)."""
+    column index inside the flattened batch is start & (n1-1).
+
+    With a ShardCtx constrainer the pass runs under shard_map over the n1
+    axis: column FFTs are device-local by construction (SURVEY.md section 2),
+    and each device runs the same fused kernels on its column block."""
     n1 = xc.shape[-3]
+    ctx = _shard_ctx(con)
+    if ctx is not None and n1 % ctx.ndev == 0 and xc.ndim in (3, 4):
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        n1_loc = n1 // ctx.ndev
+        spec = P(*([None] * (xc.ndim - 3)), ctx.axis, None, None)
+
+        def local(blk):
+            off = _jax.lax.axis_index(ctx.axis) * n1_loc
+            return _local_cols(blk, fcol, n1_loc, n2, w, W, off)
+
+        return _jax.shard_map(
+            local, mesh=ctx.mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )(xc)
     if con is None and use_pallas() and xc.ndim in (3, 4) and xc.shape[-1] <= MAX_FUSED_L:
         flat = xc.reshape((-1,) + xc.shape[-2:])
         out = fused_batched_idx(
             lambda blk, st: fcol(
-                blk, _cross_exps(blk.shape[0], n2, w, W, st & (n1 - 1))
+                blk, _block_cross_exps(blk.shape[0], st, n1 - 1, n2, w, W)
             ),
             flat,
         )
@@ -87,7 +140,34 @@ def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
 def _run_rows(xr, con, frow):
     """Row pass: frow over xr [..., B, n1, L], fused when possible (leading
     dims flatten into the kernel batch; rows carry no index-dependent
-    tables)."""
+    tables).
+
+    With a ShardCtx constrainer the pass runs under shard_map over the row
+    axis (rows are independent length-n1 FFTs); rows are zero-padded up to
+    a multiple of the mesh when truncation leaves an uneven count."""
+    ctx = _shard_ctx(con)
+    if ctx is not None and xr.ndim in (3, 4):
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+
+        B = xr.shape[-3]
+        pad = (-B) % ctx.ndev
+        if pad:
+            padw = [(0, 0)] * (xr.ndim - 3) + [(0, pad), (0, 0), (0, 0)]
+            xr = jnp.pad(xr, padw)
+        spec = P(*([None] * (xr.ndim - 3)), ctx.axis, None, None)
+
+        def local(blk):
+            if use_pallas() and blk.shape[-1] <= MAX_FUSED_L:
+                flat = blk.reshape((-1,) + blk.shape[-2:])
+                return fused_batched(frow, flat).reshape(blk.shape)
+            return frow(blk)
+
+        out = _jax.shard_map(
+            local, mesh=ctx.mesh, in_specs=(spec,), out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )(xr)
+        return out[..., :B, :, :] if pad else out
     if con is None and use_pallas() and xr.ndim in (3, 4) and xr.shape[-1] <= MAX_FUSED_L:
         flat = xr.reshape((-1,) + xr.shape[-2:])
         return fused_batched(frow, flat).reshape(xr.shape)
@@ -106,11 +186,30 @@ def fft_radix2_mfa(x, w: int, W: int, n1: int, n2: int, con=None):
     return _run_rows(xr, con, lambda b: fft_radix2(b, w * n2, W))
 
 
-def ifft_radix2_mfa(x, w: int, W: int, n1: int, n2: int, con=None):
+def ifft_mfa_rows(v, row_w: int, W: int, n1: int):
+    """Just the row-IFFT leg of the inverse MFA over flat [..., R, L] chunks
+    (R a multiple of n1): the first pass every spectrum position < trunc
+    takes, in both w parities -- root w*n2 == (w//2)*(2*n2).  Chunk-local,
+    so the staged flagship fuses it into the pointwise program (ref
+    IFFT_radix2_mfa_truncate_sqrt2_combined, mul_fft.c:2745-2923: pointwise
+    mulmod per row feeding that row's inverse FFT while it is hot)."""
+    R = v.shape[-2]
+    assert R % n1 == 0
+    v3 = v.reshape(v.shape[:-2] + (R // n1, n1, v.shape[-1]))
+    out = _run_rows(v3, None, lambda b: ifft_radix2(b, row_w, W))
+    return out.reshape(v.shape)
+
+
+def ifft_radix2_mfa(x, w: int, W: int, n1: int, n2: int, con=None,
+                    rows_done: bool = False):
     """Inverse 2-D MFA (times n1*n2): row IFFTs, then column IFFTs with the
-    cross twiddles divided out in their first stage."""
+    cross twiddles divided out in their first stage.  rows_done=True skips
+    the row pass (the caller already applied ifft_mfa_rows)."""
     cc = con or (lambda x, s: x)
-    xr = _run_rows(cc(x, "rows"), con, lambda b: ifft_radix2(b, w * n2, W))
+    if rows_done:
+        xr = x
+    else:
+        xr = _run_rows(cc(x, "rows"), con, lambda b: ifft_radix2(b, w * n2, W))
     xc = jnp.swapaxes(cc(xr, "cols"), -3, -2)     # [..., n1, n2, L]
     xc = _run_cols(xc, con, lambda b, pe: ifft_radix2(b, w * n1, W, pre_exps=pe),
                    n2, w, W)
@@ -141,16 +240,22 @@ def mfa_fft_trunc(x, w: int, W: int, n1: int, n2: int, trunc2: int,
 
 
 def mfa_ifft_trunc(v, w: int, W: int, n1: int, n2: int, trunc2: int,
-                   no_zero_tail: bool = False, con=None):
+                   no_zero_tail: bool = False, con=None,
+                   rows_done: bool = False):
     """Truncated inverse MFA (times n1*n2 on the first trunc2 rows).
     Plain flavor: underlying coefficient rows >= trunc2 are zero.
     no_zero_tail flavor: input rows >= trunc2 hold UNSCALED coefficients
-    (cell (j2, j1) = x_{j2 n1 + j1}), mirroring truncate.ifft_trunc1."""
+    (cell (j2, j1) = x_{j2 n1 + j1}), mirroring truncate.ifft_trunc1.
+    rows_done=True: the first trunc2 rows already went through
+    ifft_mfa_rows (fused with the pointwise stage)."""
     assert 1 <= trunc2 <= n2
     cc = con or (lambda x, s: x)
     v = cc(v, "rows")
-    head = _run_rows(v[..., :trunc2, :, :], con,
-                     lambda b: ifft_radix2(b, w * n2, W))
+    if rows_done:
+        head = v[..., :trunc2, :, :]
+    else:
+        head = _run_rows(v[..., :trunc2, :, :], con,
+                         lambda b: ifft_radix2(b, w * n2, W))
     if trunc2 == n2:
         xr = head
     else:
@@ -210,31 +315,36 @@ def mfa_fft_trunc_sqrt2(x, w: int, W: int, n1: int, trunc: int, con=None):
     return _cat(_flat(left), _flat(right))
 
 
-def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None):
-    """Inverse of mfa_fft_trunc_sqrt2 (times 4n = C on positions < trunc)."""
+def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
+                         rows_done: bool = False):
+    """Inverse of mfa_fft_trunc_sqrt2 (times 4n = C on positions < trunc).
+    rows_done=True: positions < trunc already went through ifft_mfa_rows
+    (root w * n2) -- the pointwise-fused combined variant."""
     C4 = v.shape[-2]
     h = C4 // 2
     n2 = h // n1
     assert trunc % n1 == 0 and 1 <= trunc <= C4
     if w % 2 == 0:
         out = mfa_ifft_trunc(_as2d(v, 2 * n2, n1), w // 2, W, n1, 2 * n2,
-                             trunc // n1, con=con)
+                             trunc // n1, con=con, rows_done=rows_done)
         return _flat(out)
     if trunc <= h:
         left = mfa_ifft_trunc(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
-                              trunc // n1, con=con)
+                              trunc // n1, con=con, rows_done=rows_done)
         left = _flat(left)
         return _cat(carry_pass(left + left), v[..., h:, :])
     k = trunc - h
     e2 = np.arange(h, dtype=np.int64) * w
-    sL = _flat(ifft_radix2_mfa(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2, con=con))
+    sL = _flat(ifft_radix2_mfa(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
+                               con=con, rows_done=rows_done))
     # reconstruct missing right-half inputs t_j = s_j q^j, j >= k, unscaled
     # (ref FFT_twiddle reconstruction of second-half rows, mul_fft.c:2680-2691)
     tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
     tail = twiddle_half(tail, e2[k:], W)
     vr = _cat(v[..., h:trunc, :], tail)
     oR = _flat(mfa_ifft_trunc(_as2d(vr, n2, n1), w, W, n1, n2, k // n1,
-                              no_zero_tail=True, con=con))
+                              no_zero_tail=True, con=con,
+                              rows_done=rows_done))
     u = twiddle_half(oR[..., :k, :], -e2[:k], W)
     xa = carry_pass(sL[..., :k, :] + u)
     xb = carry_pass(sL[..., :k, :] - u)

@@ -29,20 +29,38 @@ from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
 from mpir_fft_tpu.utils.params import cdiv, plan_for_depth
 
 
-def make_constrainer(mesh: Mesh, axis: str = "cols"):
-    """Sharding constraints for the MFA drivers: during the column pass the
-    n1 axis is sharded (each device owns a block of columns); during the row
-    pass the n2 axis is sharded.  XLA inserts the all-to-all at the switch.
-    Arrays are [..., n2, n1, L]."""
+class ShardCtx:
+    """Sharding context for the MFA drivers.  Two duties:
 
-    def constrain(x, stage):
+    1. As a callable constrainer `ctx(x, stage)` on [..., n2, n1, L] arrays:
+       during the column pass the n1 axis is sharded (each device owns a
+       block of columns); during the row pass the n2 axis is sharded.  XLA
+       inserts the ICI all-to-all at the switch.
+    2. As a (mesh, axis) carrier: ops.mfa's _run_cols/_run_rows detect it
+       and run each transform pass under shard_map, so every device executes
+       the same fused Pallas kernels on its local block that the unsharded
+       path uses (VMEM residency survives sharding)."""
+
+    def __init__(self, mesh: Mesh, axis: str = "cols"):
+        self.mesh = mesh
+        self.axis = axis
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.shape[self.axis]
+
+    def __call__(self, x, stage):
         if stage == "cols":      # shard columns j1 (axis -2)
-            spec = P(*([None] * (x.ndim - 3)), None, axis, None)
+            spec = P(*([None] * (x.ndim - 3)), None, self.axis, None)
         else:                    # rows: shard n2 (axis -3)
-            spec = P(*([None] * (x.ndim - 3)), axis, None, None)
-        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+            spec = P(*([None] * (x.ndim - 3)), self.axis, None, None)
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(self.mesh, spec)
+        )
 
-    return constrain
+
+def make_constrainer(mesh: Mesh, axis: str = "cols"):
+    return ShardCtx(mesh, axis)
 
 
 def sharded_mul_fn(mesh: Mesh, plan, driver: str = "mfa"):

@@ -98,3 +98,60 @@ def test_sharded_mul_8dev():
     assert len(devs) >= 8, "conftest should provide 8 virtual CPU devices"
     mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
     sharded_mul_step(mesh, bits=1 << 14)
+
+
+def test_sharded_flagship_with_pallas_kernels():
+    """The sharded flagship runs the SAME Pallas kernel set as unsharded
+    (shard_map'd column/row passes, VERDICT r1 item 2), bit-exactly."""
+    from mpir_fft_tpu.ops.fused import force_pallas
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    with force_pallas(True):
+        sharded_mul_step(mesh, bits=1 << 14, driver="flagship")
+
+
+def test_sharded_collective_is_all_to_all():
+    """The column<->row boundary lowers to an all-to-all over the mesh (the
+    MFA's one logical transpose, SURVEY.md section 2), not a replicate-everything
+    fallback."""
+    from mpir_fft_tpu.models.mul import mpn_mul_mfa_trunc
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS
+    from mpir_fft_tpu.parallel.mfa_sharded import ShardCtx
+    from mpir_fft_tpu.utils.params import cdiv
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    ctx = ShardCtx(mesh)
+    bits = 1 << 14
+    plan = plan_for_depth(bits, bits, 6, sqrt2=False)
+    La = cdiv(bits, DIGIT_BITS)
+    s = jax.ShapeDtypeStruct((La,), jnp.int32)
+    txt = (
+        jax.jit(lambda a, b: mpn_mul_mfa_trunc(a, b, plan, constrain=ctx))
+        .lower(s, s)
+        .compile()
+        .as_text()
+    )
+    assert "all-to-all" in txt
+
+
+def test_stacked_pallas_block_wrap(rng):
+    """Stacked-operand fused column pass where one VMEM block spans more
+    than n1 rows: the cross-twiddle column index must wrap per row
+    (round-1 bug: masking the block start mis-twiddled the second operand
+    at small shapes)."""
+    from mpir_fft_tpu.models.mul import mpn_mul_flagship
+    from mpir_fft_tpu.ops.fused import force_pallas
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
+    from mpir_fft_tpu.utils.params import cdiv
+
+    bits = 1 << 14
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
+    plan = plan_for_depth(bits, bits, 5, sqrt2=True)  # n1=8 < fused block
+    with force_pallas(True):
+        out = mpn_mul_flagship(da, db, plan)
+    assert int_from_digits(np.asarray(out)) == a * b
