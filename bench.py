@@ -1,6 +1,11 @@
 """Benchmark CLI: times the flagship multiply on the attached TPU chip and
 prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
+With no arguments it runs the FULL size sweep 10^6/10^7/10^8/10^9 (the
+BASELINE.md table) and prints one JSON object whose headline metric is the
+largest size, with the whole sweep under "sweep".  With an explicit size it
+benchmarks that one configuration (the A/B mode).
+
 vs_baseline is the measured speedup over GMP's assembly mpn_mul on this
 machine's CPU (the reference's implied comparison target, mul_fft.c:5359,
 5406, 5452; measured via mpir_fft_tpu/native/gmp_baseline.c since the
@@ -14,7 +19,8 @@ loop is closed with a scalar reduction fetch -- the chain forces every
 multiply to really execute before the clock stops.
 
 Usage: bench.py [bits] [reps] [driver] [depth]
-(depth forces plan_for_depth at that depth for A/B plan comparisons)
+(depth forces plan_for_depth at that depth for A/B plan comparisons;
+env BENCH_SIZES="1e6,1e7" overrides the no-arg sweep)
 """
 
 from __future__ import annotations
@@ -74,12 +80,11 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def main():
-    bits = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+def bench_one(bits, reps=None, driver="flagship", depth=None):
     # default reps amortize the tunnel's ~1-5 ms/dispatch overhead (measured:
     # a trivial chained program costs 4.6 ms/rep at 8 reps, 1.1 ms at 32)
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else max(3, min(64, (3 << 28) // bits))
-    driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
+    if reps is None:
+        reps = max(2, min(64, (3 << 28) // bits))
 
     import jax
     import jax.numpy as jnp
@@ -94,8 +99,8 @@ def main():
     a = rand_bits(rng, bits)
     b = rand_bits(rng, bits)
 
-    if len(sys.argv) > 4:
-        plan = plan_for_depth(bits, bits, int(sys.argv[4]), sqrt2=DRIVERS[driver][1])
+    if depth is not None:
+        plan = plan_for_depth(bits, bits, depth, sqrt2=DRIVERS[driver][1])
     else:
         plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
     L = cdiv(bits, DIGIT_BITS)
@@ -157,20 +162,56 @@ def main():
         _ = a * b
         base_s, base_kind = time.perf_counter() - t0, "cpython_int"
 
+    return {
+        "metric": f"mul_{bits}bit_walltime",
+        "value": round(wall, 6),
+        "unit": "s",
+        "vs_baseline": round(base_s / wall, 3),
+        "exact": bool(ok),
+        "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
+        "driver": driver,
+        "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
+        "device": str(jax.devices()[0]),
+        "reps": reps,
+        "sink": sink % 1000,
+    }
+
+
+DEFAULT_SWEEP = (1_000_000, 10_000_000, 100_000_000, 1_000_000_000)
+
+
+def main():
+    if len(sys.argv) > 1:
+        # explicit-size A/B mode: bench.py bits [reps] [driver] [depth]
+        bits = int(sys.argv[1])
+        reps = int(sys.argv[2]) if len(sys.argv) > 2 else None
+        driver = sys.argv[3] if len(sys.argv) > 3 else "flagship"
+        depth = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        print(json.dumps(bench_one(bits, reps, driver, depth)))
+        return
+
+    import os
+
+    sizes_env = os.environ.get("BENCH_SIZES")
+    sizes = (
+        [int(float(s)) for s in sizes_env.split(",")]
+        if sizes_env
+        else list(DEFAULT_SWEEP)
+    )
+    sweep = []
+    for bits in sizes:
+        log(f"bench: === {bits} bits ===")
+        sweep.append(bench_one(bits))
+    head = sweep[-1]  # headline = largest size (the BASELINE.md north star)
     print(
         json.dumps(
             {
-                "metric": f"mul_{bits}bit_walltime",
-                "value": round(wall, 6),
+                "metric": head["metric"],
+                "value": head["value"],
                 "unit": "s",
-                "vs_baseline": round(base_s / wall, 3),
-                "exact": bool(ok),
-                "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
-                "driver": driver,
-                "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
-                "device": str(jax.devices()[0]),
-                "reps": reps,
-                "sink": sink % 1000,
+                "vs_baseline": head["vs_baseline"],
+                "exact": all(r["exact"] for r in sweep),
+                "sweep": sweep,
             }
         )
     )

@@ -67,15 +67,29 @@ def cmd_bench(args) -> int:
 
 
 def cmd_selftest(args) -> int:
+    from mpir_fft_tpu import native
     from mpir_fft_tpu.models.mul import DRIVERS, mul
 
     rng = np.random.default_rng(0)
     bits = args.bits
-    a = int.from_bytes(rng.bytes(bits // 8), "little") | (1 << (bits - 1))
-    b = int.from_bytes(rng.bytes(bits // 16), "little") | (1 << (bits // 2 - 1))
+    ab = rng.bytes(bits // 8)
+    bb = rng.bytes(bits // 16)
+    a = int.from_bytes(ab, "little") | (1 << (bits - 1))
+    b = int.from_bytes(bb, "little") | (1 << (bits // 2 - 1))
+    # oracle: GMP assembly when the native layer built (CPython int multiply
+    # is minutes-slow at 10^8+ bits; gmp_mul makes selftest usable there)
+    want = None
+    if native.available():
+        got_bytes = native.gmp_mul(
+            a.to_bytes(bits // 8, "little"), b.to_bytes(bits // 16, "little")
+        )
+        if got_bytes is not None:
+            want = int.from_bytes(got_bytes, "little")
+    if want is None:
+        want = a * b
     failures = []
     for drv in DRIVERS:
-        ok = mul(a, b, driver=drv) == a * b
+        ok = mul(a, b, driver=drv) == want
         print(f"{drv:<12} {'OK' if ok else 'FAIL'}")
         if not ok:
             failures.append(drv)

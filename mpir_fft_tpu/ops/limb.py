@@ -168,7 +168,11 @@ def _exact_carries(d: jax.Array) -> tuple[jax.Array, jax.Array]:
 
 
 def exact_carries_nonneg(d: jax.Array) -> jax.Array:
-    """Exact incoming carry per digit for NONNEGATIVE d in [0, 2^17):
+    """Exact incoming carry per digit for NONNEGATIVE d with d + cin < 2^17
+    (i.e. d <= 2^17 - 2; callers actually bound d <= 2^16 via
+    canonicalize_plain's pre-passes).  At d == 2^17 - 1 an incoming carry
+    would make the true carry-out 2, breaking the binary generate/propagate
+    assumption below:
     carries are binary, so the scan runs on two uint8 generate/propagate
     planes instead of the 3-wide int32 carry triple -- 24x less memory,
     which is what lets the final combine canonicalize multi-10^8-digit
