@@ -295,3 +295,95 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
         out_specs=spec,
         interpret=_interpret(),
     )(*ins)
+
+def _pick_row_block(B: int, R: int) -> int:
+    """Largest row-block size rb <= R with B % rb == 0 and rb % 8 == 0 (the
+    Mosaic sublane constraint: block dims must be divisible by 8 or equal
+    the full array dim).  Falls back to the whole array when B has no
+    suitable divisor."""
+    rb = min(B, max(8, (R // 8) * 8))
+    rb -= rb % 8
+    while rb >= 8:
+        if B % rb == 0:
+            return rb
+        rb -= 8
+    return B
+
+
+def fused_rows(fn, x, fudge: int = 16):
+    """Run a row-elementwise fn over [..., L] digit vectors in one Pallas
+    pass: rows stream through VMEM in blocks, so multi-pass row-local scans
+    (normmod's exact carry scan, ripple masks) cost one HBM round trip
+    instead of dozens.  fn must treat every leading axis elementwise."""
+    import math
+
+    lead = x.shape[:-1]
+    L = x.shape[-1]
+    B = math.prod(lead) if lead else 1
+    flat = x.reshape(B, L)
+    Lpad = -(-L // 128) * 128
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (fudge * Lpad * x.dtype.itemsize))
+    fn = _guarded(fn)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = fn(x_ref[...])
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=jax.ShapeDtypeStruct((B, L), x.dtype),
+        in_specs=[pl.BlockSpec((rb, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rb, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(flat)
+    return out.reshape(x.shape)
+
+def fused_twiddle_half(x, e0: int, step: int, W: int, h: int):
+    """Half-bit twiddle x[..., j, :] * 2^((e0 + j*step)/2) mod p in ONE
+    Pallas pass (ref sqrt2 butterfly two-phase shift, mul_fft.c:591-634).
+
+    The unfused path costs ~28 HBM passes (two/three barrel-shift shift_mods
+    plus selects); here the whole computation -- exponent from iota, plain
+    shift for even half-exponents, hi-lo sqrt2 combination for odd -- runs on
+    VMEM row blocks.  j is the index along axis -2 (length h, any value);
+    leading axes replicate."""
+    from .limb import carry_pass, shift_mod
+    from .transforms import no_auto_fuse
+
+    L = x.shape[-1]
+    assert x.shape[-2] == h
+    lead = x.shape[:-1]
+    import math
+
+    B = math.prod(lead)
+    flat = x.reshape(B, L)
+    Lpad = -(-L // 128) * 128
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (14 * Lpad * x.dtype.itemsize))
+
+    def kernel(x_ref, o_ref):
+        xb = x_ref[...]
+        start = pl.program_id(0) * rb
+        j = (start + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)) % h
+        e2 = (jnp.int32(e0) + j * jnp.int32(step)) % jnp.int32(4 * W)
+        k = e2 >> 1
+        odd = e2 & 1
+        with no_auto_fuse():
+            plain = shift_mod(xb, k % (2 * W), W)
+            hi = shift_mod(xb, (k + 3 * W // 4) % (2 * W), W)
+            lo = shift_mod(xb, (k + W // 4) % (2 * W), W)
+            root2 = carry_pass(hi - lo)
+        o_ref[...] = jnp.where(odd == 1, root2, plain)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=jax.ShapeDtypeStruct((B, L), x.dtype),
+        in_specs=[pl.BlockSpec((rb, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((rb, L), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(flat)
+    return out.reshape(x.shape)

@@ -126,45 +126,40 @@ def neg_digits(x: jax.Array) -> jax.Array:
 
 # -- exact canonicalization -------------------------------------------------
 
-def _carry_fn_triple(d: jax.Array) -> jax.Array:
-    """Per-digit carry transition function f(cin) = floor((d + cin)/2^16) for
-    cin in {-1,0,1}, encoded as a stacked triple along a new last axis."""
-    stack = jnp.stack([d - 1, d, d + 1], axis=-1)
-    return stack >> DIGIT_BITS
-
-
-def _compose_triples(f: jax.Array, g: jax.Array) -> jax.Array:
-    """(g o f): first f then g; triples indexed by cin in {-1,0,1} at [...,0/1/2]."""
-    fv = f  # values in {-1,0,1}
-    gm1, g0, gp1 = g[..., 0], g[..., 1], g[..., 2]
-    out = jnp.where(fv == -1, gm1[..., None], jnp.where(fv == 0, g0[..., None], gp1[..., None]))
-    # note: broadcasting trick -- select per cin channel
-    return out
-
-
 def _exact_carries(d: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Exact incoming carry per digit (for initial cin=0) and the final carry-out.
+    """Exact incoming carry per digit (for initial cin=0) and the final
+    carry-out (as a [..., 1] slice).
 
     Requires d + cin to stay within carry range {-1,0,1}:  d in [-2^16-1, 2^17).
-    Returns (cin[..., L], cout[...]).
+    Returns (cin[..., L], cout[..., 1]).
 
-    The prefix composition uses a manual Hillis-Steele doubling loop --
-    log2(L) whole-array steps -- NOT lax.associative_scan, whose recursive
-    construction emits O(L) slice/concat HLO ops and blew up compile memory
-    at L = 1024 (the 10^8-bit shapes)."""
-    P = _carry_fn_triple(d)                            # [..., L, 3]
+    The carry transition f(cin) = floor((d + cin)/2^16) is carried as THREE
+    int32 planes (f evaluated at cin = -1/0/+1) composed with a manual
+    Hillis-Steele doubling loop -- log2(L) whole-array steps.  Planes, not
+    a stacked [..., L, 3] triple, because (a) Mosaic cannot lower the
+    triple's minor-axis element indexing (dynamic_slice) inside Pallas
+    kernels and (b) the planes cost 3x less bandwidth.  Not
+    lax.associative_scan, whose recursive construction emits O(L)
+    slice/concat HLO ops and blew up compile memory at L = 1024."""
+    m1 = (d - 1) >> DIGIT_BITS
+    z0 = d >> DIGIT_BITS
+    p1 = (d + 1) >> DIGIT_BITS
     L = d.shape[-1]
-    ident = jnp.broadcast_to(jnp.asarray([-1, 0, 1], P.dtype), P.shape)
+
+    def ev(v):
+        # evaluate the current composed transition at incoming-carry plane v
+        return jnp.where(v == -1, m1, jnp.where(v == 0, z0, p1))
+
     k = 1
     while k < L:
-        prev = jnp.concatenate([ident[..., :k, :], P[..., :-k, :]], axis=-2)
-        P = _compose_triples(prev, P)                  # prev window first
+        # previous window's planes, identity (-1/0/+1) filled for the first k
+        pm1 = jnp.concatenate([jnp.full_like(d[..., :k], -1), m1[..., :-k]], axis=-1)
+        pz0 = jnp.concatenate([jnp.zeros_like(d[..., :k]), z0[..., :-k]], axis=-1)
+        pp1 = jnp.concatenate([jnp.full_like(d[..., :k], 1), p1[..., :-k]], axis=-1)
+        m1, z0, p1 = ev(pm1), ev(pz0), ev(pp1)
         k *= 2
-    cout_all = P[..., 1]                               # prefix applied to cin=0
-    cin = jnp.concatenate(
-        [jnp.zeros_like(cout_all[..., :1]), cout_all[..., :-1]], axis=-1
-    )
-    return cin, cout_all[..., -1]
+    cin = jnp.concatenate([jnp.zeros_like(z0[..., :1]), z0[..., :-1]], axis=-1)
+    return cin, z0[..., -1:]
 
 
 def exact_carries_nonneg(d: jax.Array) -> jax.Array:
@@ -201,7 +196,22 @@ def normmod(x: jax.Array) -> jax.Array:
 
     Equivalent of mpn_normmod_2expp1 (mul_fft.c:272-294): folds all redundancy
     so digits land in [0, 2^16) (special-casing the residue -1).  Works for any
-    digit magnitudes up to ~2^30 (three bounding passes, then an exact scan)."""
+    digit magnitudes up to ~2^30 (three bounding passes, then an exact scan).
+
+    Batched inputs auto-fuse into a Pallas row kernel when enabled: the
+    log2(L)-round scan plus the ripple masks otherwise cost dozens of HBM
+    passes (measured 0.42 s of the 10^9-bit multiply's 1.67 s); in VMEM the
+    whole canonicalization is one HBM round trip."""
+    if x.ndim >= 2 and x.shape[-1] >= 128:
+        from .fused import fused_rows, use_pallas
+        from .transforms import _NO_FUSE
+
+        if use_pallas() and not _NO_FUSE.get():
+            return fused_rows(_normmod_core, x)
+    return _normmod_core(x)
+
+
+def _normmod_core(x: jax.Array) -> jax.Array:
     # Bound digits into scan range: after two passes bound is ~2^16 + 2
     x = carry_pass(carry_pass(x))
     cin, cout = _exact_carries(x)
@@ -211,15 +221,30 @@ def normmod(x: jax.Array) -> jax.Array:
     return _sub_small_at_0(r, cout)
 
 
+def _prefix_and(b: jax.Array) -> jax.Array:
+    """Inclusive prefix-AND of {0,1} int32 along the last axis, as a
+    Hillis-Steele doubling loop (cumprod is not Pallas/Mosaic-lowerable;
+    this is, and XLA fuses it identically outside kernels)."""
+    L = b.shape[-1]
+    k = 1
+    while k < L:
+        shifted = jnp.concatenate(
+            [jnp.ones_like(b[..., :k]), b[..., :-k]], axis=-1
+        )
+        b = b & shifted
+        k *= 2
+    return b
+
+
 def _sub_small_at_0(r: jax.Array, s: jax.Array) -> jax.Array:
-    """r has canonical digits in [0, 2^16); subtract s in {-1,0,1} at digit 0,
-    re-canonicalizing (ripple via cumulative AND masks, no data-dependent loop)."""
+    """r has canonical digits in [0, 2^16); subtract s in {-1,0,1} (shaped
+    [..., 1]) at digit 0, re-canonicalizing (ripple via cumulative AND
+    masks, no data-dependent loop)."""
     L = r.shape[-1]
-    s = s[..., None]  # [..., 1]
 
     # +1 ripple (s == -1): digits equal to 2^16-1 from position 0 flip to 0,
     # first other digit gets +1.  If *all* digits are 2^16-1, result is 2^W == -1.
-    prop_p = jnp.cumprod((r == DIGIT_MASK).astype(jnp.int32), axis=-1)  # inclusive
+    prop_p = _prefix_and((r == DIGIT_MASK).astype(jnp.int32))  # inclusive
     prop_p_excl = jnp.concatenate(
         [jnp.ones_like(prop_p[..., :1]), prop_p[..., :-1]], axis=-1
     )
@@ -231,7 +256,7 @@ def _sub_small_at_0(r: jax.Array, s: jax.Array) -> jax.Array:
 
     # -1 ripple (s == +1): digits equal to 0 from position 0 become 2^16-1,
     # first nonzero digit gets -1.  If all digits are 0, result is -1 (special).
-    prop_m = jnp.cumprod((r == 0).astype(jnp.int32), axis=-1)
+    prop_m = _prefix_and((r == 0).astype(jnp.int32))
     prop_m_excl = jnp.concatenate(
         [jnp.ones_like(prop_m[..., :1]), prop_m[..., :-1]], axis=-1
     )

@@ -39,8 +39,26 @@ def twiddle_half(x, e2, W: int):
     vector e2 (mod 4W).  Even entries are plain shifts; odd entries take the
     sqrt2 path.  Uses position slicing when parity alternates with position
     (every transform/weighting table in this library), masked select
-    otherwise."""
-    e2 = np.mod(np.asarray(e2, np.int64), 4 * W)
+    otherwise.
+
+    Affine exponent vectors (every table this library builds) auto-fuse
+    into one Pallas row-kernel pass when enabled -- the select path below
+    otherwise costs ~28 HBM passes of barrel-shift twiddles."""
+    e2_raw = np.asarray(e2, np.int64)
+    if (
+        x.ndim >= 2
+        and e2_raw.ndim == 1
+        and e2_raw.size == x.shape[-2] >= 1
+        and (e2_raw.size == 1 or np.all(np.diff(e2_raw) == e2_raw[1] - e2_raw[0]))
+    ):
+        from .fused import MAX_STAGE_L, fused_twiddle_half, use_pallas
+        from .transforms import _NO_FUSE
+
+        if use_pallas() and not _NO_FUSE.get() and x.shape[-1] <= MAX_STAGE_L:
+            step = int(e2_raw[1] - e2_raw[0]) if e2_raw.size > 1 else 0
+            e0 = int(e2_raw[0] % (4 * W))
+            return fused_twiddle_half(x, e0, step, W, x.shape[-2])
+    e2 = np.mod(e2_raw, 4 * W)
     if x.shape[-2] != e2.shape[-1]:
         raise ValueError((x.shape, e2.shape))
     k = e2 >> 1

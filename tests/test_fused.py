@@ -84,3 +84,21 @@ def test_whole_fused_transform_matches_plain(rng):
     with force_pallas(True):
         fast = fft_radix2(jnp.asarray(x), w, W)
     _eq_mod(plain, fast, W)
+
+
+def test_fused_normmod_matches_plain(rng):
+    """normmod's Pallas row kernel (one HBM round trip for the whole
+    canonicalization) is bit-identical to the plain XLA path, including the
+    ripple edge rows (all-0xffff, all-zero, the -1 residue)."""
+    from mpir_fft_tpu.ops.limb import _normmod_core, normmod as nm
+
+    for L in (128, 256):
+        x = rng.integers(-(1 << 29), 1 << 29, (6, L)).astype(np.int32)
+        e = np.zeros((3, L), np.int32)
+        e[0, :] = 0xFFFF
+        e[2, 0] = -1
+        for arr in (x, e):
+            want = np.asarray(_normmod_core(jnp.asarray(arr)))
+            with force_pallas(True):
+                got = np.asarray(nm(jnp.asarray(arr)))
+            assert np.array_equal(want, got)
