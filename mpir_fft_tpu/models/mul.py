@@ -75,9 +75,17 @@ def _pointwise(fa, fb, W: int, recursive: bool):
     return mulmod_base(fa, fb, canonical=False)
 
 
-def _finish(c, plan: MulPlan, valid: int):
+def _finish(c, plan: MulPlan, valid: int, con=None):
     """Scale by 2^-lg_conv, canonicalize, and combine the first `valid`
-    coefficients (ref scale + FFT_combine_bits, mul_fft.c:3658-3665)."""
+    coefficients (ref scale + FFT_combine_bits, mul_fft.c:3658-3665).
+    With a sharding constrainer, row-kernel auto-fusion is disabled (a
+    top-level pallas_call under the SPMD partitioner would replicate;
+    only the shard_map'd transform passes keep their kernels)."""
+    if con is not None:
+        from mpir_fft_tpu.ops.transforms import no_auto_fuse
+
+        with no_auto_fuse():
+            return _finish(c, plan, valid)
     W = plan.W
     c = normmod(div_2expmod(c, plan.lg_conv, W))
     return fft_combine_bits(c[..., :valid, :], plan.bits1, out_len_digits(plan))
@@ -160,7 +168,7 @@ def mpn_mul_mfa(a, b, plan: MulPlan, constrain=None, recursive: bool = False):
     c = ifft_radix2_mfa(prod, plan.w, W, n1, n2)
     c = con(c, "cols")
     c = c.reshape(c.shape[:-3] + (C, ring.L))
-    return _finish(c, plan, C)
+    return _finish(c, plan, C, con=constrain)
 
 
 def mpn_mul_mfa_trunc(a, b, plan: MulPlan, constrain=None, recursive: bool = False):
@@ -186,7 +194,7 @@ def mpn_mul_mfa_trunc(a, b, plan: MulPlan, constrain=None, recursive: bool = Fal
     c = mfa_ifft_trunc(prod, plan.w, W, n1, n2, t2)
     c = con(c, "cols")
     c = c.reshape(c.shape[:-3] + (C, ring.L))
-    return _finish(c, plan, t)
+    return _finish(c, plan, t, con=constrain)
 
 
 def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True):
@@ -214,7 +222,23 @@ def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True
     prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
     prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
     c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)
-    return _finish(c, plan, t)
+    return _finish(c, plan, t, con=constrain)
+
+
+def mpn_sqr_flagship(a, plan: MulPlan, constrain=None, recursive: bool = True):
+    """Squaring through the flagship pipeline: ONE forward transform instead
+    of two, pointwise fa*fa -- ~1/3 less transform work.  (The reference has
+    no squaring entry; new_mpn_mul* transform both operands even when
+    i1 == i2, mul_fft.c:3615-3624.)"""
+    assert plan.sqrt2
+    ring = Ring(plan.n, plan.w)
+    W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+    ia = fft_split_bits(a, plan.bits1, plan.conv_len, ring.L)
+    fh = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)[..., :t, :]
+    prod = _pointwise(fh, fh, W, recursive)
+    prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
+    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)
+    return _finish(c, plan, t, con=constrain)
 
 
 # ---------------------------------------------------------------------------
@@ -269,6 +293,10 @@ def _staged_flagship(plan: MulPlan):
         return ifft_mfa_rows(_pointwise(fa, fb, W, True), row_w, W, n1)
 
     @functools.partial(jax.jit, donate_argnums=0)
+    def sq_rows_chunk(fa):
+        return ifft_mfa_rows(_pointwise(fa, fa, W, True), row_w, W, n1)
+
+    @functools.partial(jax.jit, donate_argnums=0)
     def norm_chunk(c):
         return normmod(div_2expmod(c, plan.lg_conv, W))
 
@@ -292,10 +320,14 @@ def _staged_flagship(plan: MulPlan):
         outs = [fn(*(x[i : i + rows] for x in xs)) for i in range(0, t, rows)]
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def run(da, db):
+    def run(da, db=None):
         # one operand at a time keeps peak HBM to input + its transform;
-        # pointwise(+row-IFFT) and normalization stream over row chunks
-        prod = chunked(pw_rows_chunk, fwd(da), fwd(db))
+        # pointwise(+row-IFFT) and normalization stream over row chunks.
+        # db=None: squaring, one forward transform
+        if db is None:
+            prod = chunked(sq_rows_chunk, fwd(da))
+        else:
+            prod = chunked(pw_rows_chunk, fwd(da), fwd(db))
         return combine(chunked(norm_chunk, inv_transform(prod)))
 
     return run
@@ -321,6 +353,14 @@ def _jitted_driver(kind: str, plan: MulPlan):
     if kind == "flagship" and flagship_is_staged(plan):
         return _staged_flagship(plan)
     return jax.jit(functools.partial(fn, plan=plan))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_sqr(plan: MulPlan):
+    if flagship_is_staged(plan):
+        staged = _staged_flagship(plan)
+        return lambda da: staged(da)
+    return jax.jit(functools.partial(mpn_sqr_flagship, plan=plan))
 
 
 def mul(a: int, b: int, driver: str = "flagship") -> int:

@@ -52,9 +52,14 @@ def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
     from mpir_fft_tpu.utils.params import cdiv, choose_params
 
     assert driver == "flagship", "stage profile covers the flagship pipeline"
+    from mpir_fft_tpu.models.mul import flagship_is_staged
+    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+
     plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+    staged = flagship_is_staged(plan)
+    row_w = plan.w * ((plan.conv_len // 2) // n1)
 
     rng = np.random.default_rng(0)
     L = cdiv(bits, DIGIT_BITS)
@@ -68,7 +73,11 @@ def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
 
     @jax.jit
     def pw(fa, fb):
-        return _pointwise(fa, fb, W, True)
+        # staged production path fuses the row-IFFT leg into the pointwise
+        # program (models.mul._staged_flagship pw_rows_chunk; ref combined
+        # variant mul_fft.c:2745-2923) -- profile what actually runs
+        prod = _pointwise(fa, fb, W, True)
+        return ifft_mfa_rows(prod, row_w, W, n1) if staged else prod
 
     @jax.jit
     def norm(c):
@@ -78,7 +87,7 @@ def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
     def inv(prod):
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
         c = mfa_ifft_trunc_sqrt2(jnp.concatenate([prod, pad], axis=-2),
-                                 plan.w, W, n1, t)
+                                 plan.w, W, n1, t, rows_done=staged)
         return c[..., :t, :]
 
     @jax.jit
@@ -87,18 +96,26 @@ def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
 
     out = {"bits": bits, "plan": {"depth": plan.depth, "w": plan.w, "W": W,
                                   "L": ring.L, "trunc": t},
-           "device": str(jax.devices()[0])}
+           "staged": staged, "device": str(jax.devices()[0])}
+    # free each stage's inputs before timing the next (at 10^9 bits the
+    # full set of live intermediates exceeds one chip's HBM; the production
+    # staged pipeline frees progressively via donation)
     s, fa = _timed(fwd, da, reps=reps)
     out["fwd_a_s"] = round(s, 6)
+    da.delete()
     s, fb = _timed(fwd, db, reps=reps)
     out["fwd_b_s"] = round(s, 6)
+    db.delete()
     s, prod = _timed(pw, fa, fb, reps=reps)
-    out["pointwise_s"] = round(s, 6)
+    out["pointwise_rows_s" if staged else "pointwise_s"] = round(s, 6)
+    fa.delete(), fb.delete()
     s, c = _timed(inv, prod, reps=reps)
     out["inverse_s"] = round(s, 6)
-    s, c = _timed(norm, c, reps=reps)
+    prod.delete()
+    s, c2 = _timed(norm, c, reps=reps)
     out["normalize_s"] = round(s, 6)
-    s, _ = _timed(combine, c, reps=reps)
+    c.delete()
+    s, _ = _timed(combine, c2, reps=reps)
     out["combine_s"] = round(s, 6)
     out["total_s"] = round(sum(v for k, v in out.items() if k.endswith("_s")), 6)
     return out

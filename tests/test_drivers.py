@@ -138,3 +138,20 @@ def test_tuner_candidates_and_cache(rng, tmp_path, monkeypatch):
     # cached second call returns instantly with the same depth
     plan2 = tuned_plan(20000, 20000, "flagship", reps=1)
     assert (plan2.depth, plan2.w) == (plan.depth, plan.w)
+
+
+def test_sqr_flagship(rng):
+    """Squaring driver: one forward transform, bit-exact (no ref analogue --
+    new_mpn_mul* always transforms both operands, mul_fft.c:3615-3624)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpir_fft_tpu.models.mul import _jitted_sqr
+    from mpir_fft_tpu.ops.limb import digits_from_int, int_from_digits
+
+    bits = 20000
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | (1 << (bits - 1))
+    plan = choose_params(bits, bits, sqrt2=True)
+    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
+    out = _jitted_sqr(plan)(da)
+    assert int_from_digits(np.asarray(out)) == a * a
