@@ -248,6 +248,11 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
     hb = min(h, 1 << max(0, (R // K).bit_length() - 1))
     while h % hb:
         hb //= 2
+    if hb < 8 and hb != h:
+        # Mosaic sublane constraint: block dims divisible by 8 or whole-dim
+        # (h is a power of two, so min(h, 8) divides h); may exceed the soft
+        # VMEM budget slightly -- the scoped limit is conservative
+        hb = min(h, 8)
     nb = max(1, min(N, R // (K * hb)))
     while N % nb:
         nb -= 1
@@ -387,3 +392,119 @@ def fused_twiddle_half(x, e0: int, step: int, W: int, h: int):
         interpret=_interpret(),
     )(flat)
     return out.reshape(x.shape)
+
+def fused_canonicalize_plain(x):
+    """Exact non-modular carry canonicalization of a huge nonnegative 1-D
+    digit vector (the final combine's carrying add, ref FFT_combine_bits
+    mul_fft.c:207-267) in ~2.5 HBM round trips instead of the ~30 whole-
+    array passes of the flat doubling scan.
+
+    Classic two-level carry scan: the vector is viewed as (R, C2) rows;
+    kernel A bounds digits row-locally (two carry passes, boundary carries
+    out as per-row scalars) and emits per-row generate/propagate summaries;
+    a tiny host-level (g, p) scan over the R row summaries produces each
+    row's incoming carry; kernel B applies the exact row-local carry scan
+    seeded with that carry.  Digit contract matches split.canonicalize_plain:
+    input digits nonnegative < ~2^20, true value fits the vector."""
+    (N,) = x.shape
+    C2 = 4096
+    R = -(-N // C2)
+    R8 = -(-R // 8) * 8
+    pad = R8 * C2 - N
+    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+    rows = xp.reshape(R8, C2)
+    rb = _pick_row_block(R8, VMEM_SCOPED_LIMIT // (16 * C2 * x.dtype.itemsize))
+    spec = pl.BlockSpec((rb, C2), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec1 = pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    M16 = (1 << 16) - 1   # python literal: kernels cannot capture jnp scalars
+
+    def kernel_a(x_ref, y_ref, t_ref, g_ref, p_ref):
+        d = x_ref[...]
+        t = jnp.zeros_like(d[:, :1])
+        for _ in range(2):
+            c = d >> 16
+            r = d - (c << 16)
+            t = t + c[:, -1:]
+            d = r + jnp.concatenate(
+                [jnp.zeros_like(c[:, :1]), c[:, :-1]], axis=-1
+            )
+        y_ref[...] = d
+        t_ref[...] = t
+        # row (generate, propagate) over digits 1..C2-1; digit 0 is updated
+        # later (it receives the previous row's boundary carry), so it
+        # enters as the identity transition here
+        idx = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+        g = jnp.where(idx == 0, 0, d >> 16)
+        p = jnp.where(idx == 0, 1, jnp.where((d & M16) == M16, 1, 0))
+        # suffix-AND of p (propagate of everything above digit i)
+        sp = p
+        k = 1
+        while k < C2:
+            nxt = jnp.concatenate(
+                [sp[:, k:], jnp.ones_like(sp[:, :k])], axis=-1
+            )
+            sp = sp & nxt
+            k *= 2
+        sp_excl = jnp.concatenate([sp[:, 1:], jnp.ones_like(sp[:, :1])], axis=-1)
+        g_ref[...] = jnp.max(g & sp_excl, axis=-1, keepdims=True)
+        p_ref[...] = jnp.min(p, axis=-1, keepdims=True)
+
+    y, t, g_rest, p_rest = pl.pallas_call(
+        kernel_a,
+        grid=(R8 // rb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((R8, C2), x.dtype),
+            jax.ShapeDtypeStruct((R8, 1), x.dtype),
+            jax.ShapeDtypeStruct((R8, 1), x.dtype),
+            jax.ShapeDtypeStruct((R8, 1), x.dtype),
+        ),
+        in_specs=[spec],
+        out_specs=(spec, spec1, spec1, spec1),
+        interpret=_interpret(),
+    )(rows)
+
+    # host-level (R8-element) scan: fold the boundary carry into digit 0's
+    # transition, compose with the rest of the row, exclusive (g, p) scan
+    t_shift = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], axis=0)
+    y0 = y[:, :1] + t_shift
+    g0 = y0 >> 16
+    p0 = jnp.where((y0 & M16) == M16, 1, 0)
+    G = g_rest | (p_rest & g0)
+    P = p_rest & p0
+    k = 1
+    while k < R8:
+        gs = jnp.concatenate([jnp.zeros_like(G[:k]), G[:-k]], axis=0)
+        ps = jnp.concatenate([jnp.ones_like(P[:k]), P[:-k]], axis=0)
+        G = G | (P & gs)
+        P = P & ps
+        k *= 2
+    row_cin = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
+
+    def kernel_b(y_ref, ts_ref, rc_ref, o_ref):
+        yv = y_ref[...]
+        idx = jax.lax.broadcasted_iota(jnp.int32, yv.shape, 1)
+        yv = yv + jnp.where(idx == 0, ts_ref[...], 0)
+        rc = rc_ref[...]
+        g = yv >> 16
+        p = jnp.where((yv & M16) == M16, 1, 0)
+        k = 1
+        while k < C2:
+            gs = jnp.concatenate([jnp.zeros_like(g[:, :k]), g[:, :-k]], axis=-1)
+            ps = jnp.concatenate([jnp.ones_like(p[:, :k]), p[:, :-k]], axis=-1)
+            g = g | (p & gs)
+            p = p & ps
+            k *= 2
+        gx = jnp.concatenate([jnp.zeros_like(g[:, :1]), g[:, :-1]], axis=-1)
+        px = jnp.concatenate([jnp.ones_like(p[:, :1]), p[:, :-1]], axis=-1)
+        cin = gx | (px & rc)
+        o_ref[...] = (yv + cin) & M16
+
+    out = pl.pallas_call(
+        kernel_b,
+        grid=(R8 // rb,),
+        out_shape=jax.ShapeDtypeStruct((R8, C2), x.dtype),
+        in_specs=[spec, spec1, spec1],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(y, t_shift, row_cin)
+    return out.reshape(-1)[:N]

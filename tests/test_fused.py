@@ -102,3 +102,44 @@ def test_fused_normmod_matches_plain(rng):
             with force_pallas(True):
                 got = np.asarray(nm(jnp.asarray(arr)))
             assert np.array_equal(want, got)
+
+
+def test_fused_canonicalize_plain(rng):
+    """Two-level Pallas carry scan == flat canonicalization, including a
+    carry ripple crossing row boundaries."""
+    from mpir_fft_tpu.ops.fused import fused_canonicalize_plain
+
+    N = 1 << 16
+    x = rng.integers(0, 1 << 20, N).astype(np.int32)
+    x[-4:] = 0
+    y = np.full(N, 0xFFFF, np.int32)
+    y[0] = 0x1FFFF
+    y[-4:] = 0
+    for arr in (x, y):
+        want = sum(int(v) << (16 * i) for i, v in enumerate(arr.tolist()))
+        with force_pallas(True):
+            got = np.asarray(fused_canonicalize_plain(jnp.asarray(arr)))
+        assert ((got >= 0) & (got < 1 << 16)).all()
+        assert int.from_bytes(got.astype("<u2").tobytes(), "little") == want
+
+
+def test_fused_twiddle_half_matches_plain(rng):
+    """Affine half-bit twiddle kernel == the plain select path, across
+    parities (all-even, alternating, negative step, offset slice, single)."""
+    from mpir_fft_tpu.ops.limb import normmod
+    from mpir_fft_tpu.ops.sqrt2 import twiddle_half
+
+    W = 16 * 128
+    cases = [
+        (8, np.arange(8) * 3),
+        (8, -np.arange(8) * 5),
+        (6, 7 + np.arange(6) * 2),
+        (1, np.array([9])),
+        (8, np.arange(8) * 4),
+    ]
+    for h, e2 in cases:
+        x = rng.integers(-(1 << 17), 1 << 17, (2, h, 128)).astype(np.int32)
+        want = np.asarray(normmod(twiddle_half(jnp.asarray(x), e2, W)))
+        with force_pallas(True):
+            got = np.asarray(normmod(twiddle_half(jnp.asarray(x), e2, W)))
+        assert np.array_equal(want, got), (h, e2[:2])
