@@ -53,6 +53,7 @@ analogue because signs come out of the CRT range directly.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -401,6 +402,18 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
     redundant digits (< 2^16 + 2^12) unless canonical=True."""
     M = a.shape[-1]
     assert ntt_supported(M), M
+    if M > TIER1_MAX_M and os.environ.get("MPIR_FFT_NTT_FUSED", "0") == "1":
+        # Opt-in A/B path: the fully-fused Pallas pipeline below.  Measured
+        # on v5e it LOSES to the plain XLA 4-step at the production shapes
+        # (M=2048 B=8192: 42.6 ms vs 19.5 ms; M=4096 B=4096: 35.6 vs 37.0)
+        # -- XLA's whole-batch int8 GEMMs beat per-row-block kernel GEMMs,
+        # so it stays off by default.  Kept for A/B and future retuning.
+        from .fused import use_pallas
+        from .transforms import _NO_FUSE
+
+        if use_pallas() and not _NO_FUSE.get():
+            d = _mulmod_ntt_fused(a, b)
+            return normmod(d) if canonical else d
     a = _balanced_pass(a)
     b = _balanced_pass(b)
     parts = []
@@ -425,3 +438,192 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
     primes = tuple(mat["p"] for mat in mats)
     d = carry_pass(_garner_to_digits(parts, primes))
     return normmod(d) if canonical else d
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused Pallas mulmod: the whole 3-prime 4-step NTT-CRT pipeline
+# (balanced pass, psi weighting, both matmul passes per transform, pointwise,
+# inverse, Garner, carry) in ONE kernel pass over VMEM row blocks.
+# ---------------------------------------------------------------------------
+
+def _ntt4_tables(M: int):
+    """Kernel-input table list (8 arrays per prime, fixed order) + static
+    metas.  Tables are KB-scale ([k*m, k*m] int8 blocks, 2-D int32 twiddle /
+    weight grids) -- they ride VMEM whole.  Weight tables are pre-shaped for
+    the kernel's dot_general-ordered layouts: Wt as [m1, m2] (input [i1, i2]),
+    Wti TRANSPOSED to [m2, m1] (the inverse ends in [i2, i1] order)."""
+    mats = _ntt4_mats(M)
+    arrs, metas = [], []
+    for mat in mats:
+        m1, m2 = mat["m1"], mat["m2"]
+        arrs += [
+            mat["F1"], mat["F2"], mat["G1"], mat["G2"],
+            mat["T"], mat["Ti"],
+            mat["Wt"].reshape(m1, m2),
+            np.ascontiguousarray(mat["Wti"].reshape(m1, m2).T),
+        ]
+        metas.append({k: mat[k] for k in ("p", "k", "m1", "m2")})
+    return arrs, metas
+
+
+def _planes_ax(x: jax.Array, p: int, k: int, axis: int) -> jax.Array:
+    """_to_planes along an arbitrary axis (planes concatenated there)."""
+    r = jnp.mod(x, p)
+    rc = jnp.where(r > p // 2, r - p, r)
+    planes = []
+    for _ in range(k - 1):
+        lo = ((rc + 128) & 255) - 128
+        planes.append(lo)
+        rc = (rc - lo) >> 8
+    planes.append(rc)
+    return jnp.concatenate(planes, axis=axis).astype(jnp.int8)
+
+
+def _dot_fold(x: jax.Array, blk: jax.Array, p: int, k: int, axis: int) -> jax.Array:
+    """Plane-split x along `axis`, contract that axis against the [km, km]
+    plane block, fold the k output plane groups high-to-low mod p.  The
+    contracted axis lands LAST in the dot output (dot_general free-dim
+    ordering does the 4-step's transposes for free -- no in-kernel
+    lane-splitting reshapes, which Mosaic cannot lower)."""
+    pl8 = _planes_ax(x, p, k, axis)
+    ax = axis % pl8.ndim
+    S = jax.lax.dot_general(
+        pl8, blk, (((ax,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    m = S.shape[-1] // k
+    acc = jnp.mod(S[..., (k - 1) * m :], p)
+    for j in range(k - 2, -1, -1):
+        acc = jnp.mod(S[..., j * m : (j + 1) * m] + (acc << 8), p)
+    return acc
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_mulmod_fn(M: int, B: int):
+    """Two pallas_calls computing (a*b) mod 2^(16M)+1 for [B, M] digit
+    batches: kernel 1 runs the whole 3-prime 4-step NTT pipeline (balanced
+    pass, psi weighting, both MXU dot passes per transform, pointwise,
+    inverse) on [rb, m1, m2] VMEM blocks; kernel 2 recombines the three
+    residue planes (Garner CRT + carry pass).  The XLA 4-step path makes
+    every elementwise link between the matmuls an HBM round trip (measured
+    ~0.4 s of the 10^9-bit multiply's pointwise stage); here a and b make
+    one HBM read and each intermediate exactly one write.
+    (Ref role: mpn_mulmod_2expp1 below the crossover, mul_fft.c:3119-3139.)"""
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused import VMEM_SCOPED_LIMIT, _interpret, _pick_row_block
+
+    arrs, metas = _ntt4_tables(M)
+    m1, m2 = metas[0]["m1"], metas[0]["m2"]
+    # ~40 M-wide int32 temps live through the unrolled 3-prime pipeline
+    # (measured: rb=64 at M=2048 overflowed the 16M scoped-vmem stack by 36K)
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (40 * 4 * M))
+
+    def kernel_ntt(*refs):
+        a_ref, b_ref = refs[0], refs[1]
+        tab = refs[2:-3]
+        outs = refs[-3:]
+        a = _balanced_pass3(a_ref[...])
+        b = _balanced_pass3(b_ref[...])
+        for i, meta in enumerate(metas):
+            t8 = tab[8 * i : 8 * i + 8]
+            p, k = meta["p"], meta["k"]
+            F1, F2, G1, G2 = (t8[j][...] for j in range(4))
+            T, Ti, Wt, WtiT = (t8[j][...] for j in range(4, 8))
+
+            def fwd(x):
+                # [rb, i1, i2] -> [rb, i2, k1] -> [rb, k1, k2]
+                r = _modmul(jnp.mod(x, p), Wt, p)
+                r = _dot_fold(r, F1, p, k, -2)
+                r = _modmul(r, T, p)
+                return _dot_fold(r, F2, p, k, -2)
+
+            prod = _modmul(fwd(a), fwd(b), p)
+            # [rb, k1, k2] -> [rb, k1, i2] -> [rb, i2, i1]
+            r = _dot_fold(prod, G2, p, k, -1)
+            r = _modmul(r, Ti, p)
+            r = _dot_fold(r, G1, p, k, -2)
+            outs[i][...] = _modmul(r, WtiT, p)
+
+    def kernel_crt(r1_ref, r2_ref, r3_ref, o_ref):
+        rs = (r1_ref[...], r2_ref[...], r3_ref[...])
+        o_ref[...] = carry_pass(
+            _garner_to_digits(rs, tuple(m["p"] for m in metas))
+        )
+
+    spec_in = pl.BlockSpec((rb, m1, m2), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_ot = pl.BlockSpec((rb, m2, m1), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    tab_specs = [
+        pl.BlockSpec(t.shape, (lambda i: (0, 0)), memory_space=pltpu.VMEM)
+        for t in arrs
+    ]
+    res_aval = jax.ShapeDtypeStruct((B, m2, m1), jnp.int32)
+    call_ntt = pl.pallas_call(
+        kernel_ntt,
+        grid=(B // rb,),
+        out_shape=(res_aval,) * 3,
+        in_specs=[spec_in, spec_in] + tab_specs,
+        out_specs=(spec_ot,) * 3,
+        interpret=_interpret(),
+    )
+    spec_m = pl.BlockSpec((rb, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    call_crt = pl.pallas_call(
+        kernel_crt,
+        grid=(B // rb,),
+        out_shape=jax.ShapeDtypeStruct((B, M), jnp.int32),
+        in_specs=[spec_m] * 3,
+        out_specs=spec_m,
+        interpret=_interpret(),
+    )
+    tables = [_jnp.asarray(t) for t in arrs]
+
+    def run(a, b):
+        a3 = a.reshape(B, m1, m2)
+        b3 = b.reshape(B, m1, m2)
+        rs = call_ntt(a3, b3, *tables)
+        rs = [jnp.swapaxes(r, -1, -2).reshape(B, M) for r in rs]
+        return call_crt(*rs)
+
+    return run
+
+
+def _balanced_pass3(x: jax.Array) -> jax.Array:
+    """_balanced_pass on the [rb, m1, m2] kernel layout: digit i = i1*m2+i2,
+    so the carry moves to the next i2 (wrapping into the next i1 row, the
+    top carry negacyclically to digit 0) -- a pure roll in the flattened
+    order, expressed without lane-merging reshapes."""
+    m = (x + (1 << (DIGIT_BITS - 1))) >> DIGIT_BITS
+    r = x - (m << DIGIT_BITS)
+    # roll m one digit up in flattened order: shift along i2; the column
+    # that falls off (last i2) moves to i2=0 of the NEXT i1 row; the very
+    # top digit's carry wraps negated to digit 0
+    last = m[..., :, -1:]                       # [rb, m1, 1] carries out of rows
+    top = -last[..., -1:, :]                    # negacyclic wrap of the top digit
+    carry_col = jnp.concatenate([top, last[..., :-1, :]], axis=-2)
+    shifted = jnp.concatenate([carry_col, m[..., :, :-1]], axis=-1)
+    return r + shifted
+
+
+def _mulmod_ntt_fused(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Fused-kernel entry: flattens leading dims, pads the batch to a row
+    multiple, dispatches _fused_mulmod_fn."""
+    M = a.shape[-1]
+    lead = a.shape[:-1]
+    B = 1
+    for s in lead:
+        B *= s
+    af = a.reshape(B, M)
+    bf = b.reshape(B, M)
+    pad = (-B) % 64
+    if pad:
+        z = jnp.zeros((pad, M), af.dtype)
+        af = jnp.concatenate([af, z])
+        bf = jnp.concatenate([bf, z])
+    out = _fused_mulmod_fn(M, B + pad)(af, bf)
+    if pad:
+        out = out[:B]
+    return out.reshape(lead + (M,))

@@ -110,3 +110,18 @@ def test_ntt_output_bounded(rng):
 def test_ntt_supported():
     assert ntt_supported(2048) and ntt_supported(4) and ntt_supported(8192)
     assert not ntt_supported(16384) and not ntt_supported(48)
+
+
+def test_mulmod_ntt_fused_ab_path(rng, monkeypatch):
+    """Opt-in fully-fused Pallas pipeline (MPIR_FFT_NTT_FUSED=1) must agree
+    with the default XLA 4-step path bit-for-bit (interpret mode on CPU)."""
+    from mpir_fft_tpu.ops import fused
+
+    M = 4096
+    a = rng.integers(0, 1 << 16, (8, M)).astype(np.int32)
+    b = rng.integers(0, 1 << 16, (8, M)).astype(np.int32)
+    want = np.asarray(mulmod_ntt(jnp.asarray(a), jnp.asarray(b), canonical=True))
+    monkeypatch.setenv("MPIR_FFT_NTT_FUSED", "1")
+    with fused.force_pallas(True):
+        got = np.asarray(mulmod_ntt(jnp.asarray(a), jnp.asarray(b), canonical=True))
+    np.testing.assert_array_equal(got, want)
