@@ -250,9 +250,23 @@ def mpn_sqr_flagship(a, plan: MulPlan, constrain=None, recursive: bool = True):
 # above this many coefficient int32 elements, compile the flagship in stages
 _STAGED_THRESHOLD_ELEMS = 1 << 24
 
+# above this many coefficient int32 elements (slab > 2 GB; >~10^9-bit
+# operands), even the staged pipeline's whole-spectrum buffers blow HBM:
+# route to the out-of-core chunked pipeline (models/huge.py)
+_HUGE_THRESHOLD_ELEMS = 1 << 29
+
 
 def flagship_is_staged(plan: MulPlan) -> bool:
     return plan.conv_len * (plan.W // DIGIT_BITS) > _STAGED_THRESHOLD_ELEMS
+
+
+def flagship_is_huge(plan: MulPlan) -> bool:
+    from mpir_fft_tpu.models.huge import huge_serves
+
+    return (
+        plan.conv_len * (plan.W // DIGIT_BITS) > _HUGE_THRESHOLD_ELEMS
+        and huge_serves(plan)
+    )
 
 
 # rows per pointwise/normalize chunk at the largest sizes: bounds the HBM
@@ -350,13 +364,22 @@ DRIVERS = {
 def _jitted_driver(kind: str, plan: MulPlan):
     fn, needs_sqrt2 = DRIVERS[kind]
     assert plan.sqrt2 == needs_sqrt2, (kind, plan)
-    if kind == "flagship" and flagship_is_staged(plan):
-        return _staged_flagship(plan)
+    if kind == "flagship":
+        if flagship_is_huge(plan):
+            from mpir_fft_tpu.models.huge import mul_huge
+
+            return functools.partial(mul_huge, plan=plan)
+        if flagship_is_staged(plan):
+            return _staged_flagship(plan)
     return jax.jit(functools.partial(fn, plan=plan))
 
 
 @functools.lru_cache(maxsize=64)
 def _jitted_sqr(plan: MulPlan):
+    if flagship_is_huge(plan):
+        from mpir_fft_tpu.models.huge import sqr_huge
+
+        return functools.partial(sqr_huge, plan=plan)
     if flagship_is_staged(plan):
         staged = _staged_flagship(plan)
         return lambda da: staged(da)
