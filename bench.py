@@ -130,11 +130,17 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     log(f"bench: plan depth={plan.depth} w={plan.w} sqrt2={plan.sqrt2}; compiling")
     out = fn(da, db)
     out.block_until_ready()              # compile + warm
+    # pull the exactness-check product to host NOW and free its device copy:
+    # at >10^9 bits it is a multi-GB buffer that would otherwise sit in HBM
+    # through every timed pipeline run (OOMs the 4x10^9-bit out-of-core run)
+    out_host = np.asarray(out)
+    del out
     log("bench: compiled; warming")
     # the attached device may load/compile the program server-side on first
-    # execution with block_until_ready returning early; force TWO full
-    # executions with real result fetches before timing
-    for _ in range(2):
+    # execution with block_until_ready returning early; force full
+    # executions with real result fetches before timing (one is enough at
+    # huge sizes where a single run is seconds of real device work)
+    for _ in range(1 if bits > 1_000_000_000 else 2):
         _ = int(jnp.sum(step(da, db)))
 
     import contextlib
@@ -154,7 +160,7 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
 
     # correctness spot-check on the plain (unchained) device result
     log("bench: checking exactness")
-    got = mulmod.int_from_digits(np.asarray(out))
+    got = mulmod.int_from_digits(out_host)
     ok = product_matches(got, a, b, bits)
     log("bench: measuring CPU baseline")
 

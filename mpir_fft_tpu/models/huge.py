@@ -55,11 +55,14 @@ from mpir_fft_tpu.ops.transforms import fft_radix2, ifft_radix2
 from mpir_fft_tpu.ops.truncate import fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
 from mpir_fft_tpu.utils.params import MulPlan, cdiv
 
-# unpacked int32 bytes a transform chunk program may touch
-CHUNK_BYTES = 256 << 20
+import os
+
+# unpacked int32 bytes a transform chunk program may touch (env-tunable:
+# smaller chunks trade dispatch count for HBM headroom on the biggest runs)
+CHUNK_BYTES = int(os.environ.get("MPIR_FFT_HUGE_CHUNK_MB", 256)) << 20
 # spectrum row-chunk bytes; also the pointwise batch (the recursive mulmod's
 # inner-ring temps run ~6x the unpacked chunk, so these stay smaller)
-PW_CHUNK_BYTES = 128 << 20
+PW_CHUNK_BYTES = int(os.environ.get("MPIR_FFT_HUGE_PW_CHUNK_MB", 128)) << 20
 
 
 # ---------------------------------------------------------------------------
