@@ -19,6 +19,7 @@ loop is closed with a scalar reduction fetch -- the chain forces every
 multiply to really execute before the clock stops.
 
 Usage: bench.py [bits] [reps] [driver] [depth]
+       bench.py batch <bits> <k> [reps] [driver]     (throughput mode)
 (depth forces plan_for_depth at that depth for A/B plan comparisons;
 env BENCH_SIZES="1e6,1e7" overrides the no-arg sweep)
 """
@@ -187,10 +188,97 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     }
 
 
+def bench_batch(bits, k, reps=None, driver="flagship"):
+    """Throughput mode: k products per dispatch chain via the batched
+    pipeline (models.mul.mul_many's device path).  Reports per-product
+    wall time; vs_baseline is against ONE GMP core doing the k products
+    serially, i.e. the honest products/sec comparison."""
+    if reps is None:
+        reps = max(2, min(32, (3 << 28) // (bits * k)))
+
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu import native
+    from mpir_fft_tpu.models import mul as mulmod
+    from mpir_fft_tpu.models.mul import DRIVERS, flagship_is_huge, flagship_is_staged
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
+    from mpir_fft_tpu.utils.params import cdiv, choose_params
+
+    rng = np.random.default_rng(1)
+    pairs = [(rand_bits(rng, bits), rand_bits(rng, bits)) for _ in range(k)]
+    plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
+    assert not (driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan))), \
+        "batch mode targets sizes below the staged threshold"
+    L = cdiv(bits, DIGIT_BITS)
+    da = jnp.asarray(np.stack([digits_from_int(a, L) for a, _ in pairs]))
+    db = jnp.asarray(np.stack([digits_from_int(b, L) for _, b in pairs]))
+    fn = mulmod._jitted_driver(driver, plan)
+
+    @jax.jit
+    def step(prev, db):
+        return fn(prev, db)[..., :L]
+
+    log(f"bench-batch: k={k} plan depth={plan.depth} w={plan.w}; compiling")
+    out_host = np.asarray(fn(da, db))
+    for _ in range(2):
+        _ = int(jnp.sum(step(da, db)))
+
+    log("bench-batch: timing")
+    t0 = time.perf_counter()
+    prev = da
+    for _ in range(reps):
+        prev = step(prev, db)
+    sink = int(jnp.sum(prev))
+    per_product = (time.perf_counter() - t0) / (reps * k)
+
+    log("bench-batch: checking exactness")
+    ok = all(
+        product_matches(mulmod.int_from_digits(out_host[i]), a, b, bits)
+        for i, (a, b) in enumerate(pairs)
+    )
+    log("bench-batch: measuring CPU baseline")
+    base = native.gmp_baseline(bits, 2)
+    base_s, base_kind = (
+        (base["value"], "gmp_mpn_mul") if base is not None else (None, None)
+    )
+    if base_s is None:
+        t0 = time.perf_counter()
+        _ = pairs[0][0] * pairs[0][1]
+        base_s, base_kind = time.perf_counter() - t0, "cpython_int"
+
+    return {
+        "metric": f"mul_{bits}bit_batch{k}_per_product",
+        "value": round(per_product, 9),
+        "unit": "s",
+        "vs_baseline": round(base_s / per_product, 3),
+        "exact": bool(ok),
+        "throughput_products_per_s": round(1.0 / per_product, 3),
+        "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
+        "driver": driver,
+        "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
+        "device": str(jax.devices()[0]),
+        "reps": reps,
+        "batch": k,
+        "sink": sink % 1000,
+    }
+
+
 DEFAULT_SWEEP = (1_000_000, 10_000_000, 100_000_000, 1_000_000_000)
 
 
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "batch":
+        # throughput mode: bench.py batch <bits> <k> [reps] [driver]
+        bits, k = int(sys.argv[2]), int(sys.argv[3])
+        reps = int(sys.argv[4]) if len(sys.argv) > 4 else None
+        driver = sys.argv[5] if len(sys.argv) > 5 else "flagship"
+        print(json.dumps(bench_batch(bits, k, reps, driver)))
+        return
     if len(sys.argv) > 1:
         # explicit-size A/B mode: bench.py bits [reps] [driver] [depth]
         bits = int(sys.argv[1])

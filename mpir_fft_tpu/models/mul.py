@@ -386,6 +386,41 @@ def _jitted_sqr(plan: MulPlan):
     return jax.jit(functools.partial(mpn_sqr_flagship, plan=plan))
 
 
+def mul_many(pairs, driver: str = "flagship") -> list[int]:
+    """Multiply many (a, b) pairs of nonnegative ints in ONE device program.
+
+    The throughput API: every op in the pipeline is batched over leading
+    dims, so k products cost one dispatch chain and the per-product transform
+    work runs at full VPU/MXU occupancy -- at 10^6-10^7 bits a single product
+    is dispatch-latency-bound and batching it recovers nearly k-fold
+    throughput.  (The reference is strictly one-product-per-call,
+    mul_fft.c:3573-3668; batching is the TPU-native generalization.)
+
+    All pairs share one plan sized for the largest operands; smaller operands
+    are zero-padded (exactness is unaffected -- padding only widens the ring).
+    Plans large enough to need staged / out-of-core execution fall back to a
+    sequential loop: at those sizes a single product already saturates the
+    chip and the batch would just multiply peak HBM."""
+    pairs = list(pairs)
+    for a, b in pairs:
+        if a < 0 or b < 0:
+            raise ValueError("nonnegative operands only (mpn semantics)")
+    if not pairs:
+        return []
+    ba = max(a.bit_length() for a, _ in pairs)
+    bb = max(b.bit_length() for _, b in pairs)
+    if ba == 0 or bb == 0 or ba + bb <= _SMALL_THRESHOLD_BITS or len(pairs) == 1:
+        return [a * b for a, b in pairs]
+    plan = choose_params(ba, bb, sqrt2=DRIVERS[driver][1])
+    if driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan)):
+        return [mul(a, b, driver) for a, b in pairs]
+    La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)
+    da = jnp.asarray(np.stack([digits_from_int(a, La) for a, _ in pairs]))
+    db = jnp.asarray(np.stack([digits_from_int(b, Lb) for _, b in pairs]))
+    out = np.asarray(_jitted_driver(driver, plan)(da, db))
+    return [int_from_digits(row) for row in out]
+
+
 def mul(a: int, b: int, driver: str = "flagship") -> int:
     """Multiply two nonnegative Python ints via the TPU FFT pipeline.
 

@@ -140,6 +140,23 @@ def test_tuner_candidates_and_cache(rng, tmp_path, monkeypatch):
     assert (plan2.depth, plan2.w) == (plan.depth, plan.w)
 
 
+def test_mul_many_batched(rng):
+    """Batched throughput API: k products in one program, mixed sizes
+    (smaller pairs zero-pad into the shared plan), bit-exact."""
+    from mpir_fft_tpu.models.mul import mul_many
+
+    pairs = [
+        (rand_int(rng, 17000), rand_int(rng, 15000)),
+        (rand_int(rng, 9000), rand_int(rng, 15000)),
+        (rand_int(rng, 17000), rand_int(rng, 4000)),
+        (rand_int(rng, 12345), rand_int(rng, 6789)),
+    ]
+    assert mul_many(pairs) == [a * b for a, b in pairs]
+    # tiny batch falls back to host big-int
+    assert mul_many([(3, 5)]) == [15]
+    assert mul_many([]) == []
+
+
 def test_sqr_flagship(rng):
     """Squaring driver: one forward transform, bit-exact (no ref analogue --
     new_mpn_mul* always transforms both operands, mul_fft.c:3615-3624)."""
