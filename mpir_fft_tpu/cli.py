@@ -61,7 +61,11 @@ def cmd_mul(args) -> int:
 def cmd_bench(args) -> int:
     import bench as bench_mod  # repo-root bench.py
 
-    sys.argv = ["bench.py", str(args.bits), str(args.reps), args.driver]
+    if args.batch > 1:
+        sys.argv = ["bench.py", "batch", str(args.bits), str(args.batch),
+                    str(args.reps), args.driver]
+    else:
+        sys.argv = ["bench.py", str(args.bits), str(args.reps), args.driver]
     bench_mod.main()
     return 0
 
@@ -139,6 +143,8 @@ def main(argv=None) -> int:
     b.add_argument("--bits", type=int, default=10_000_000)
     b.add_argument("--reps", type=int, default=3)
     b.add_argument("--driver", default="flagship")
+    b.add_argument("--batch", type=int, default=1,
+                   help="k>1: throughput mode, k products per program")
     b.set_defaults(fn=cmd_bench)
 
     s = sub.add_parser("selftest", help="run every driver against the host oracle")

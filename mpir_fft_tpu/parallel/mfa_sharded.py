@@ -79,6 +79,47 @@ def sharded_mul_fn(mesh: Mesh, plan, driver: str = "mfa"):
     return jax.jit(fn, in_shardings=(repl, repl), out_shardings=repl)
 
 
+def sharded_mul_many_fn(mesh: Mesh, plan, driver: str = "flagship"):
+    """Data-parallel batched multiply: the leading batch axis of [k, L]
+    digit arrays shards over the mesh, each device runs the FULL single-chip
+    pipeline (all fused Pallas kernels) on its local pairs under shard_map.
+    Zero collectives -- products are independent (the DP complement of
+    sharded_mul_fn's model-parallel column sharding).  k must divide by the
+    mesh size."""
+    from mpir_fft_tpu.models.mul import DRIVERS
+
+    base, _ = DRIVERS[driver]
+    ax = mesh.axis_names[0]
+
+    def local(da, db):
+        return base(da, db, plan=plan)
+
+    fm = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(ax), P(ax)), out_specs=P(ax)
+    )
+    return jax.jit(fm)
+
+
+def sharded_mul_many_step(mesh: Mesh, bits: int = 1 << 13) -> None:
+    """One data-parallel batch of ndev multiplies, verified bit-exactly."""
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    plan = plan_for_depth(bits, bits, 3, sqrt2=True)
+    rng = np.random.default_rng(1)
+    L = cdiv(bits, DIGIT_BITS)
+    pairs = [
+        (
+            int.from_bytes(rng.bytes(bits // 8), "little") | 1,
+            int.from_bytes(rng.bytes(bits // 8), "little") | 1,
+        )
+        for _ in range(ndev)
+    ]
+    da = jnp.asarray(np.stack([digits_from_int(a, L) for a, _ in pairs]))
+    db = jnp.asarray(np.stack([digits_from_int(b, L) for _, b in pairs]))
+    out = np.asarray(sharded_mul_many_fn(mesh, plan, "flagship")(da, db))
+    for i, (a, b) in enumerate(pairs):
+        assert int_from_digits(out[i]) == a * b, f"DP batch row {i} mismatch"
+
+
 def sharded_mul_step(mesh: Mesh, bits: int = 1 << 14, driver: str = "mfa") -> None:
     """One full sharded multiply on tiny shapes, verified bit-exactly --
     the dryrun_multichip payload."""

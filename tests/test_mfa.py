@@ -111,6 +111,16 @@ def test_sharded_flagship_with_pallas_kernels():
         sharded_mul_step(mesh, bits=1 << 14, driver="flagship")
 
 
+def test_sharded_mul_many_dp_8dev():
+    """Data-parallel batched multiply: batch axis sharded over the mesh,
+    full pipeline local per device, bit-exact (zero collectives)."""
+    from mpir_fft_tpu.parallel.mfa_sharded import sharded_mul_many_step
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("dp",))
+    sharded_mul_many_step(mesh)
+
+
 def test_sharded_collective_is_all_to_all():
     """The column<->row boundary lowers to an all-to-all over the mesh (the
     MFA's one logical transpose, SURVEY.md section 2), not a replicate-everything
