@@ -439,3 +439,21 @@ def mul(a: int, b: int, driver: str = "flagship") -> int:
     db = jnp.asarray(digits_from_int(b, Lb))
     out = _jitted_driver(driver, plan)(da, db)
     return int_from_digits(np.asarray(out))
+
+
+def sqr(a: int) -> int:
+    """Square a nonnegative Python int via the flagship pipeline with ONE
+    forward transform (~1/3 less transform work than mul(a, a); the reference
+    has no squaring entry -- new_mpn_mul* always transforms both operands,
+    mul_fft.c:3615-3624)."""
+    if a < 0:
+        raise ValueError("nonnegative operand only (mpn semantics)")
+    if a == 0:
+        return 0
+    ba = a.bit_length()
+    if 2 * ba <= _SMALL_THRESHOLD_BITS:
+        return a * a
+    plan = choose_params(ba, ba, sqrt2=True)
+    da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
+    out = _jitted_sqr(plan)(da)
+    return int_from_digits(np.asarray(out))

@@ -157,6 +157,23 @@ def test_mul_many_batched(rng):
     assert mul_many([]) == []
 
 
+def test_public_api(rng):
+    """Package-level lazy API: mul / sqr / mul_many round-trip exactly."""
+    import mpir_fft_tpu as m
+
+    a, b = rand_int(rng, 17000), rand_int(rng, 15000)
+    assert m.mul(a, b) == a * b
+    assert m.sqr(a) == a * a
+    assert m.mul_many([(a, b), (b, b)]) == [a * b, b * b]
+    assert m.sqr(0) == 0 and m.mul(0, a) == 0
+    for bad in [(-1, 1), (1, -1)]:
+        try:
+            m.mul(*bad)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
+
+
 def test_sqr_flagship(rng):
     """Squaring driver: one forward transform, bit-exact (no ref analogue --
     new_mpn_mul* always transforms both operands, mul_fft.c:3615-3624)."""
