@@ -17,23 +17,25 @@ import jax.numpy as jnp
 from .limb import carry_pass, div_2expmod, shift_mod
 
 
-def butterfly_fwd(a, b, e_t, W: int, e_s=None):
+def butterfly_fwd(a, b, e_t, W: int, e_s=None, gcd_t: int = 1, gcd_s: int = 1):
     """DIF butterfly (ref FFT_radix2_butterfly, mul_fft.c:553-576):
         s = a + b            (optionally * 2^e_s: the fused-twiddle form,
                               ref FFT_radix2_twiddle_butterfly mul_fft.c:517-548)
         t = (a - b) * 2^e_t  (mod p)
     e_t / e_s are bit-shift exponents: python ints or int32 arrays
-    broadcastable to [..., 1] over the digit axis."""
+    broadcastable to [..., 1] over the digit axis.  gcd_t / gcd_s: static
+    power-of-two divisors of every e_t / e_s value (see limb.shift_mod)."""
     s = a + b
-    t = shift_mod(a - b, e_t, W)
+    t = shift_mod(a - b, e_t, W, gcd=gcd_t)
     if e_s is None:
         s = carry_pass(s)
     else:
-        s = shift_mod(s, e_s, W)
+        s = shift_mod(s, e_s, W, gcd=gcd_s)
     return s, t
 
 
-def butterfly_inv(s, t, e, W: int, e_s=None, e_t=None):
+def butterfly_inv(s, t, e, W: int, e_s=None, e_t=None, gcd_t: int = 1,
+                  gcd_s: int = 1):
     """Inverse DIF butterfly (ref FFT_radix2_inverse_butterfly,
     mul_fft.c:639-652):
         a = s + t / 2^e
@@ -41,8 +43,8 @@ def butterfly_inv(s, t, e, W: int, e_s=None, e_t=None):
     With e_s/e_t set, both inputs are pre-divided by their extra twiddles
     first (ref FFT_radix2_twiddle_inverse_butterfly, mul_fft.c:721-752)."""
     if e_s is not None:
-        s = div_2expmod(s, e_s, W)
+        s = div_2expmod(s, e_s, W, gcd=gcd_s)
     if e_t is not None:
         e = e + e_t
-    h = div_2expmod(t, e, W)
+    h = div_2expmod(t, e, W, gcd=gcd_t)
     return carry_pass(s + h), carry_pass(s - h)

@@ -278,15 +278,20 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
                 hpos = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, m, hb, 1), 3)
                 e = (qm * jnp.int32(h) + hpos) * jnp.int32(steps[j])
+                # every e is a multiple of steps[j]: static hint for the
+                # twiddle's barrel shifter (limb.shift_mod gcd)
+                g = steps[j] & -steps[j]
                 pes = pet = None
                 if has_pe and j == k - 1:   # m == 1, hb == 1
                     pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
                     pet = pe_blk[:, :, 1].reshape(nb, K // 2, 1, 1, 1)
                 if kind == "fwd":
                     e_t = e if pet is None else e + pet
-                    s, t = butterfly_fwd(a, b, e_t, W, e_s=pes)
+                    s, t = butterfly_fwd(a, b, e_t, W, e_s=pes,
+                                         gcd_t=1 if pet is not None else g)
                 else:
-                    s, t = butterfly_inv(a, b, e, W, e_s=pes, e_t=pet)
+                    s, t = butterfly_inv(a, b, e, W, e_s=pes, e_t=pet,
+                                         gcd_t=1 if pet is not None else g)
                 x = jnp.stack([s, t], axis=2).reshape(nb, K, hb, L)
         o_ref[...] = x
 

@@ -299,7 +299,7 @@ def shift_bits_var(x: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.left_shift(lo, b) + _wrap_inject(hi)
 
 
-def shift_mod(x: jax.Array, s, W_bits: int) -> jax.Array:
+def shift_mod(x: jax.Array, s, W_bits: int, gcd: int = 1) -> jax.Array:
     """x * 2^s mod p = 2^W + 1, for s either a python int (static fast path) or
     an int32 array broadcastable to x[..., :1] (per-row twiddles).
 
@@ -307,7 +307,13 @@ def shift_mod(x: jax.Array, s, W_bits: int) -> jax.Array:
     (mul_fft.c:470-488), mpn_div_2expmod_2expp1 (via s -> 2W - s,
     mul_fft.c:494-512), FFT_twiddle (mul_fft.c:926-957) and the exponent
     decomposition  s = (negate? W:0) + 16*k + b  used by every butterfly
-    (mul_fft.c:525-541, TODO:109-122)."""
+    (mul_fft.c:525-541, TODO:109-122).
+
+    `gcd`: static hint -- a power of two dividing every value of (traced) s.
+    Stage exponents are i*step with step a power-of-two multiple of w, so in
+    wide-digit plans every s is a multiple of >= 16 bits: the sub-digit shift
+    drops out entirely and the barrel shifter skips its dead low levels
+    (measured ~60% of butterfly-kernel compute at the 10^9-bit shapes)."""
     L = x.shape[-1]
     assert W_bits == L * DIGIT_BITS
 
@@ -323,37 +329,44 @@ def shift_mod(x: jax.Array, s, W_bits: int) -> jax.Array:
             out = shift_bits_var(out, jnp.int32(b))
         return out if sign == 1 else -out
 
+    # clamp the hint to what stays invariant under s mod 2W and s - W
+    g = 1
+    while gcd % (2 * g) == 0 and W_bits % (2 * g) == 0:
+        g *= 2
     s = jnp.asarray(s, jnp.int32) % (2 * W_bits)
     neg = s >= W_bits
     s = jnp.where(neg, s - W_bits, s)
     k = s >> 4                       # s // 16
-    b = s & 15
-    out = _rotate_digits_var(x, k)
-    out = shift_bits_var(out, b)
+    if g >= DIGIT_BITS:
+        out = _rotate_digits_var(x, k, start_bit=g.bit_length() - 5)
+    else:
+        out = _rotate_digits_var(x, k)
+        out = shift_bits_var(out, s & 15)
     return jnp.where(neg, -out, out)
 
 
-def _rotate_digits_var(x: jax.Array, k: jax.Array) -> jax.Array:
+def _rotate_digits_var(x: jax.Array, k: jax.Array, start_bit: int = 0) -> jax.Array:
     """Negacyclic digit rotation by per-row k in [0, L): barrel shifter --
-    log2(L) statically-shifted rolls gated by the bits of k.  No gathers."""
+    log2(L) statically-shifted rolls gated by the bits of k.  No gathers.
+    start_bit skips levels known dead (k a multiple of 2^start_bit)."""
     L = x.shape[-1]
     if L == 1:
         return x   # k must be 0
     nbits = max(1, (L - 1).bit_length())
-    for t in range(nbits):
+    for t in range(start_bit, nbits):
         kb = (k >> t) & 1
         x = jnp.where(kb == 1, shift_digits_static(x, 1 << t), x)
     return x
 
 
-def mul_2expmod(x: jax.Array, d, W_bits: int) -> jax.Array:
+def mul_2expmod(x: jax.Array, d, W_bits: int, gcd: int = 1) -> jax.Array:
     """t = x * 2^d mod p (ref: mpn_mul_2expmod_2expp1, mul_fft.c:470-488)."""
-    return shift_mod(x, d, W_bits)
+    return shift_mod(x, d, W_bits, gcd=gcd)
 
 
-def div_2expmod(x: jax.Array, d, W_bits: int) -> jax.Array:
+def div_2expmod(x: jax.Array, d, W_bits: int, gcd: int = 1) -> jax.Array:
     """t = x / 2^d mod p (ref: mpn_div_2expmod_2expp1, mul_fft.c:494-512).
     Division by 2^d is multiplication by 2^(2W-d) since 2^(2W) == 1 (mod p)."""
     if isinstance(d, (int, np.integer)):
         return shift_mod(x, (2 * W_bits - int(d)) % (2 * W_bits), W_bits)
-    return shift_mod(x, (2 * W_bits - d) % (2 * W_bits), W_bits)
+    return shift_mod(x, (2 * W_bits - d) % (2 * W_bits), W_bits, gcd=gcd)

@@ -155,10 +155,12 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         b = xr[..., 1, :, :]
         e_t = _iota_exps(h, w << l)                      # i * w * 2^l bits
         e_s = None
+        g = (w << l) & -(w << l)          # static barrel hint (limb.shift_mod)
         if pe is not None:
             e_s = _as_col(pe[..., 0, :])                 # s lands at even pos
             e_t = _as_col(pe[..., 1, :]) + e_t           # t at odd pos
-        s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s)
+            g = 1
+        s, t = butterfly_fwd(a, b, e_t, W, e_s=e_s, gcd_t=g)
         x = jnp.stack([s, t], axis=-3).reshape(lead + (C, L))
     return x
 
@@ -222,10 +224,12 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         t = xr[..., 1, :, :]
         e = _iota_exps(h, w << l)
         e_s = e_t = None
+        g = (w << l) & -(w << l)          # static barrel hint (limb.shift_mod)
         if pe is not None:
             e_s = _as_col(pe[..., 0, :])
             e_t = _as_col(pe[..., 1, :])
-        a, b = butterfly_inv(s, t, e, W, e_s=e_s, e_t=e_t)
+            g = 1
+        a, b = butterfly_inv(s, t, e, W, e_s=e_s, e_t=e_t, gcd_t=g)
         x = jnp.stack([a, b], axis=-3).reshape(lead + (C, L))
     return x
 

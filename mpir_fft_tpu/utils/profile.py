@@ -20,27 +20,38 @@ import time
 import numpy as np
 
 
-def _timed(fn, *args, reps: int = 3) -> tuple[float, object]:
+def _timed(fn, *args, reps: int = 8) -> tuple[float, object]:
     """Chained timing with ONE closing fetch: a per-rep fetch would add the
     tunnel's full round trip (~30 ms measured) to every stage.  Each rep's
     first input gains a data dependency on the previous output (a scalar
     that is always zero, which the runtime cannot know without executing),
-    so reps serialize without host round trips and cannot be deduplicated."""
+    so reps serialize without host round trips and cannot be deduplicated.
+
+    reps must be large enough to reach PIPELINED steady state: the tunnel's
+    ~26 ms dispatch latency overlaps device execution only once several
+    dispatches are queued (measured: a 512 MB copy reads 91 ms/rep at 6 reps
+    but 6 ms/rep at 12).  Never .delete() inside the timed region (each
+    delete is a ~50 ms tunnel round trip)."""
     import jax.numpy as jnp
 
     out = fn(*args)
     _ = int(jnp.sum(out))          # compile + one real fetched execution
+    out.delete()
     dep = jnp.zeros((), args[0].dtype)
+    outs = []
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(args[0] + dep, *args[1:])
         dep = out[(0,) * out.ndim] * 0
+        outs.append(out)
     _ = int(dep)                   # single fetch closes the chain
     dt = (time.perf_counter() - t0) / reps
+    for o in outs[:-1]:
+        o.delete()
     return dt, out
 
 
-def profile_stages(bits: int, reps: int = 3, driver: str = "flagship") -> dict:
+def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
     """Stage wall-times of the (flagship) multiply at `bits`-bit operands."""
     import jax
     import jax.numpy as jnp
