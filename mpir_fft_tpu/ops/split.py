@@ -13,11 +13,21 @@ canonicalization."""
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 import jax.numpy as jnp
 
 from .limb import DIGIT_BITS, DIGIT_MASK, exact_carries_nonneg
+
+
+def _offset_classes(bits: int) -> tuple[int, int]:
+    """(P, S): coefficient bit offsets (j*bits) mod 16 cycle with period
+    P = 16/gcd(bits, 16); within an offset class the start DIGIT advances by
+    the integer stride S = P*bits/16."""
+    P = DIGIT_BITS // math.gcd(bits, DIGIT_BITS)
+    return P, (P * bits) // DIGIT_BITS
 
 
 def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
@@ -26,10 +36,13 @@ def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
 
     Returns redundant-free canonical digits (each in [0, 2^16)).
 
-    Digit-aligned strides (16 | bits) take a pure pad+reshape path -- no
-    gather (TPU gathers are slow; the planner aligns bits1 for exactly this
-    reason).  The general path mirrors the reference's running shift_bits +
-    mpn_rshift loop (mul_fft.c:115-170) as one vectorized window gather."""
+    Digit-aligned strides (16 | bits) take a pure pad+reshape path.
+    Unaligned strides use the residue-class path: coefficients j == r (mod P)
+    share one constant bit offset and sit at an integer digit stride, so each
+    class is a strided window reshape plus ONE constant-shift pass -- no
+    gather at all (TPU gathers cost ~100x; measured 153 ms -> ~5 ms on the
+    10^9-bit split).  This replaces the reference's running shift_bits +
+    mpn_rshift loop (mul_fft.c:115-170)."""
     Lx = x.shape[-1]
     if bits % DIGIT_BITS == 0:
         d = bits // DIGIT_BITS
@@ -43,6 +56,10 @@ def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
         return jnp.concatenate(
             [seg, jnp.zeros(seg.shape[:-1] + (L - d,), x.dtype)], axis=-1
         )
+    P, S = _offset_classes(bits)
+    Lw = -(-bits // DIGIT_BITS)
+    if S >= Lw + 1:
+        return _split_bits_classes(x, bits, num_coeffs, L, P, S, Lw)
     j = np.arange(num_coeffs, dtype=np.int64)[:, None]
     i = np.arange(L, dtype=np.int64)[None, :]
     pos = j * bits + DIGIT_BITS * i
@@ -63,6 +80,43 @@ def fft_split_bits(x, bits: int, num_coeffs: int, L: int):
     rr = jnp.asarray(r)
     val = jnp.right_shift(lo, rr) | jnp.left_shift(hi, DIGIT_BITS - rr)
     return val & jnp.asarray(mask)
+
+
+def _split_bits_classes(x, bits: int, num_coeffs: int, L: int,
+                        P: int, S: int, Lw: int):
+    """Gather-free unaligned split (see fft_split_bits).  Class r holds
+    coefficients j = i*P + r: start digit b_r + i*S (b_r = floor(r*bits/16)),
+    constant bit offset o_r = (r*bits) mod 16.  Requires S >= Lw + 1 (the
+    Lw+1-digit window fits inside one stride), which holds whenever
+    bits >= 32."""
+    lead = x.shape[:-1]
+    Lx = x.shape[-1]
+    nc = -(-num_coeffs // P)
+    need = ((P - 1) * bits) // DIGIT_BITS + nc * S
+    if need > Lx:
+        x = jnp.concatenate(
+            [x, jnp.zeros(lead + (need - Lx,), x.dtype)], axis=-1
+        )
+    parts = []
+    for r in range(P):
+        o = (r * bits) % DIGIT_BITS
+        b = (r * bits) // DIGIT_BITS
+        v = x[..., b : b + nc * S].reshape(lead + (nc, S))[..., : Lw + 1]
+        if o:
+            w = (
+                jnp.right_shift(v[..., :Lw], o)
+                | jnp.left_shift(v[..., 1:], DIGIT_BITS - o)
+            ) & DIGIT_MASK
+        else:
+            w = v[..., :Lw]
+        parts.append(w)
+    seg = jnp.stack(parts, axis=-2).reshape(lead + (nc * P, Lw))
+    seg = seg[..., :num_coeffs, :]
+    width = np.clip(bits - DIGIT_BITS * np.arange(Lw, dtype=np.int64), 0, DIGIT_BITS)
+    seg = seg & jnp.asarray(((1 << width) - 1).astype(np.int32))
+    return jnp.concatenate(
+        [seg, jnp.zeros(seg.shape[:-1] + (L - Lw,), x.dtype)], axis=-1
+    )
 
 
 def fft_combine_bits(c, bits: int, Lout: int):
@@ -98,6 +152,9 @@ def fft_combine_bits(c, bits: int, Lout: int):
             take = min(stop, Lout) - start
             out = out.at[..., start : start + take].add(seg[..., :take])
         return canonicalize_plain(out)
+    P, S = _offset_classes(bits)
+    if S >= 2:
+        return _combine_bits_classes(c, bits, Lout, P, S)
     K = W // bits + 2
     d = np.arange(Lout, dtype=np.int64)[:, None]
     k = np.arange(K, dtype=np.int64)[None, :]
@@ -124,6 +181,51 @@ def fft_combine_bits(c, bits: int, Lout: int):
     val = jnp.where(jnp.asarray(valid), val & DIGIT_MASK, 0)
     out = jnp.sum(val, axis=-1)                                 # [..., Lout]
     return canonicalize_plain(out)
+
+
+def _combine_bits_classes(c, bits: int, Lout: int, P: int, S: int):
+    """Gather-free unaligned combine (adjoint of _split_bits_classes):
+    coefficient j = i*P + r, left-shifted by its class's constant bit offset
+    o_r, lands at integer digit b_r + i*S; rows longer than the stride are
+    cut into S-digit segments, and segment t of the whole class is one
+    contiguous shifted add (the aligned path's trick at a per-class offset).
+    Accumulated digits stay below K*2^16 for K ~ W/bits overlapping
+    coefficients -- inside canonicalize_plain's < 2^20 domain for K <= 16
+    (K is ~2-4 everywhere the drivers call this: bits1 >= W_bits/4)."""
+    lead = c.shape[:-2]
+    C, L = c.shape[-2], c.shape[-1]
+    nc = -(-C // P)
+    if nc * P > C:
+        c = jnp.concatenate(
+            [c, jnp.zeros(lead + (nc * P - C, L), c.dtype)], axis=-2
+        )
+    nseg = -(-(L + 1) // S)
+    Lmax = ((P - 1) * bits) // DIGIT_BITS + (nseg - 1) * S + nc * S
+    acc = jnp.zeros(lead + (max(Lmax, Lout),), c.dtype)
+    for r in range(P):
+        o = (r * bits) % DIGIT_BITS
+        b = (r * bits) // DIGIT_BITS
+        rows = c[..., r::P, :]                                  # (nc, L)
+        z1 = jnp.zeros(lead + (nc, 1), c.dtype)
+        if o:
+            # digit i of (value << o): low o bits come from digit i-1's top
+            lo = jnp.left_shift(rows, o) & DIGIT_MASK
+            hi = jnp.right_shift(rows, DIGIT_BITS - o)
+            w = jnp.concatenate([lo, z1], axis=-1) + jnp.concatenate(
+                [z1, hi], axis=-1
+            )                                                   # (nc, L+1)
+        else:
+            w = jnp.concatenate([rows, z1], axis=-1)
+        pad = nseg * S - (L + 1)
+        if pad:
+            w = jnp.concatenate(
+                [w, jnp.zeros(lead + (nc, pad), c.dtype)], axis=-1
+            )
+        for t in range(nseg):
+            seg = w[..., t * S : (t + 1) * S].reshape(lead + (nc * S,))
+            start = b + t * S
+            acc = acc.at[..., start : start + nc * S].add(seg)
+    return canonicalize_plain(acc[..., :Lout])
 
 
 def canonicalize_plain(x):

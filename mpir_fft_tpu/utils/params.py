@@ -139,7 +139,13 @@ def plan_cost(plan: MulPlan) -> float:
     fft_cost = 3 * t * L * plan.lg_conv * 3
     pw_unit = t * (2 * L) ** 2 // 8
     if plan.W <= MULMOD_BASE_MAX_BITS and ntt_supported(L) and _use_ntt():
-        pw_cost = pw_unit * 0.1          # MXU dense NTT
+        from mpir_fft_tpu.ops.ntt import TIER1_MAX_M
+
+        # tier-1 (M <= 2048): 2 int8 planes, one dense matmul per pass.
+        # tier-2: 3 planes (2.25x the MAC work) + 4-step elementwise links;
+        # 0.45 calibrated from a measured end-to-end A/B at 10^9 bits
+        # (depth-15/w-1 M=2048: 0.80 s vs depth-14/w-4 M=4096: 1.52 s)
+        pw_cost = pw_unit * (0.1 if L <= TIER1_MAX_M else 0.45)
     elif plan.W <= MULMOD_BASE_MAX_BITS and 2 * L <= 4096:
         pw_cost = pw_unit * 1.0          # VPU schoolbook
     else:

@@ -49,6 +49,50 @@ def test_combine_overlapping(rng):
     assert int_from_digits(np.asarray(out)) == want
 
 
+@pytest.mark.parametrize(
+    "bits", [33, 40, 48, 41, 61, 62, 2041, 8185, 16376]
+)
+def test_split_combine_offset_classes(bits, rng):
+    """Sweep every residue-class period P = 16/gcd(bits,16) of the unaligned
+    split/combine (P in {16, 2, 1, 16, 16, 8, 16, 16, 2}) against the int
+    oracle, including the production plans' bits1 values (16376 = 10^9 plan,
+    8185 = 10^8 plan, 2041 = 10^7 plan)."""
+    total = max(6 * bits + 13, 2000)     # non-multiple of P coefficients
+    x = rand_bits(rng, total)
+    Lx = cdiv(total, DIGIT_BITS)
+    C = cdiv(total, bits) + 2
+    L = max(2 * cdiv(bits, DIGIT_BITS) + 1, 4)
+    d = jnp.asarray(digits_from_int(x, Lx))
+    coeffs = np.asarray(fft_split_bits(d, bits, C, L))
+    for j in range(C):
+        want = (x >> (j * bits)) & ((1 << bits) - 1)
+        assert int_from_digits(coeffs[j]) == want, (bits, j)
+    # combine with coefficients wider than the stride (random, overlapping)
+    vals = [
+        int_from_digits(row)
+        for row in rng.integers(0, 1 << 16, (17, L), dtype=np.int64)
+    ]
+    want = sum(v << (j * bits) for j, v in enumerate(vals))
+    cs = jnp.asarray(
+        np.stack([digits_from_int(v, L) for v in vals]).astype(np.int32)
+    )
+    out = fft_combine_bits(cs, bits, cdiv(want.bit_length(), 16) + 2)
+    assert int_from_digits(np.asarray(out)) == want
+
+
+def test_split_combine_batched(rng):
+    """Leading batch dims flow through both unaligned paths."""
+    bits, L = 40, 8
+    xs = [rand_bits(rng, 999) for _ in range(3)]
+    Lx = cdiv(999, DIGIT_BITS)
+    C = cdiv(999, bits) + 1
+    d = jnp.asarray(np.stack([digits_from_int(x, Lx) for x in xs]))
+    coeffs = fft_split_bits(d, bits, C, L)
+    back = np.asarray(fft_combine_bits(coeffs, bits, Lx + 4))
+    for i, x in enumerate(xs):
+        assert int_from_digits(back[i]) == x
+
+
 @pytest.mark.parametrize("ba,bb", [(20000, 20000), (50000, 37000), (100001, 99999)])
 def test_mul_exact(ba, bb, rng):
     a, b = rand_bits(rng, ba), rand_bits(rng, bb)
