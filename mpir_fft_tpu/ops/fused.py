@@ -47,9 +47,12 @@ STAGE_FUDGE = 14
 # how many consecutive butterfly stages one ladder kernel fuses (the classic
 # multi-stage FFT ladder): 2^LADDER positions stay VMEM-resident through
 # LADDER stages, cutting the transform's HBM round trips by that factor at
-# rings wider than MAX_FUSED_L.  Bounded by Mosaic compile time (the kernel
-# body unrolls LADDER barrel-shift twiddles), not VMEM.
-LADDER = 3
+# rings wider than MAX_FUSED_L.  Measured at the 10^9-bit shape (L=2048,
+# 256-point row/col transforms): 3 -> 19.3/37.3 ms, 4 -> 13.8/34.3,
+# 5 -> 11.8/32.5 (rows/cols per quarter-slab), 6 regresses (blocks too
+# small); deferring the butterfly carry sweeps to one whole-block pass per
+# group (butterfly carry=False) is what freed the VMEM for 5.
+LADDER = 5
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
@@ -235,6 +238,7 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
     fwd: s = (a+b) * 2^pe[:,:,0], t = (a-b) * 2^(i*step + pe[:,:,1]).
     inv: s' = s / 2^pe[:,:,0], t' = t / 2^(i*step + pe[:,:,1])."""
     from .butterfly import butterfly_fwd, butterfly_inv
+    from .limb import carry_pass
     from .transforms import no_auto_fuse
 
     N, K, h, L = xp.shape
@@ -288,12 +292,18 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
                 if kind == "fwd":
                     e_t = e if pet is None else e + pet
                     s, t = butterfly_fwd(a, b, e_t, W, e_s=pes,
-                                         gcd_t=1 if pet is not None else g)
+                                         gcd_t=1 if pet is not None else g,
+                                         carry=False)
                 else:
                     s, t = butterfly_inv(a, b, e, W, e_s=pes, e_t=pet,
-                                         gcd_t=1 if pet is not None else g)
+                                         gcd_t=1 if pet is not None else g,
+                                         carry=False)
                 x = jnp.stack([s, t], axis=2).reshape(nb, K, hb, L)
-        o_ref[...] = x
+        # deferred carry: stages above run carry-free (digit magnitude
+        # roughly doubles per stage, ~2^(18+k) after k <= LADDER stages,
+        # far inside int32); ONE whole-block sweep here restores the
+        # ~2^17 inter-kernel invariant at a third of the per-stage cost
+        o_ref[...] = carry_pass(x)
 
     in_specs = [spec] + ([spec_pe] if has_pe else [])
     ins = [xp] + ([pe] if has_pe else [])
