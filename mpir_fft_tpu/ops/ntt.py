@@ -69,6 +69,20 @@ from .limb import DIGIT_BITS, _wrap_inject, carry_pass, normmod
 # planes -- 2.25x the matmul work, still far cheaper than a recursion level.
 PRIMES = (12289, 40961, 61441)       # P ~ 2^44.8; |c| < P/2 up to M = 2048
 PRIMES_T2 = (65537, 114689, 163841)  # P ~ 2^50.1; |c| < P/2 up to M = 8192
+# pair tier (opt-in A/B, MPIR_FFT_NTT_PAIR=1): adjacent base-2^16 digits
+# fuse into base-2^32 values, HALVING the transform length -- per-prime
+# matmul work drops 4x while the wider coefficient bound
+# (|c| <= Mp * (2^31.03)^2, log2(2|c|) = 73.04 at Mp = 1024) needs 5
+# sub-2^16 primes == 1 mod 2048 (product ~2^74.8) instead of 3: total
+# plane-MACs 5*(2*Mp)^2 vs 3*(2*2Mp)^2 = 2.4x fewer on the
+# pointwise-dominating matmuls.  Measured on v5e the MAC savings do NOT
+# materialize (B=16384, M=2048: 35.6 ms vs 34.2 ms dense 16-bit): int8
+# GEMMs at K=N=2048 run at ~109 Tops vs ~186 at K=N=4096, and the 5-prime
+# mixed-radix Garner costs ~2 ms more than the 3-prime one -- so the tier
+# stays OFF by default, kept bit-exact under test for future retuning
+# (e.g. hardware where small-K GEMMs reach peak).
+PRIMES_PAIR = (12289, 18433, 40961, 59393, 61441)
+PAIR_MAX_M = 1024                    # pairs; digit vectors up to L = 2048
 TIER1_MAX_M = 2048
 # tier-2 ceiling: the 4-step path's matrices are [3*m1, 3*m1] kilobyte-scale
 # blocks, so M = 8192 costs no dense-matrix HBM (the round-1 cap of 4096 was
@@ -154,11 +168,15 @@ def _plane_block(V: np.ndarray, p: int, k: int) -> np.ndarray:
     return blk.astype(np.int8)
 
 
-@functools.lru_cache(maxsize=None)
 def _matrices(M: int) -> list[dict]:
+    primes, planes = _tier(M)
+    return _matrices_p(M, primes, planes)
+
+
+@functools.lru_cache(maxsize=None)
+def _matrices_p(M: int, primes: tuple, planes: int) -> list[dict]:
     """Per prime: plane-block forward/inverse negacyclic NTT matrices.
     F[i, k] = psi^(i(2k+1)); G[k, j] = M^-1 psi^(-j(2k+1))  (mod p)."""
-    primes, planes = _tier(M)
     out = []
     for p in primes:
         psi = _psi(p, M)
@@ -355,6 +373,120 @@ def _garner_to_digits(rs, primes) -> jax.Array:
     return even + (odd << 8)
 
 
+def _mixed_radix(rs, primes):
+    """Mixed-radix Garner digits of the signed CRT value over n primes:
+    c = v[0] + q1*v[1] + q1q2*v[2] + ... with the LAST digit centered signed
+    (so c covers (-P/2, P/2)).  O(n^2) _modmul_const passes."""
+    n = len(primes)
+    vs = []
+    for j in range(n):
+        t = rs[j]
+        pj = primes[j]
+        for i in range(len(vs)):
+            t = _modmul_const(jnp.mod(t - vs[i], pj), pow(primes[i], -1, pj), pj)
+        vs.append(t)
+    vs[-1] = jnp.where(vs[-1] > primes[-1] // 2, vs[-1] - primes[-1], vs[-1])
+    return vs
+
+
+def _garner_pair_to_digits(rs, primes) -> jax.Array:
+    """n residue planes [..., Mp] of PAIR coefficients (32-bit positions) ->
+    redundant int32 base-2^16 digits [..., 2*Mp] of the signed negacyclic
+    coefficients.  Chunk plane m (base-2^8) of coefficient j lands at byte
+    4j + m = digit 2j + m//2, bit 8*(m & 1); rolls are negacyclic at PAIR
+    granularity (2^(32*Mp) == -1), and the final digit vector interleaves
+    the even/odd digit planes of each pair."""
+    vs = _mixed_radix(rs, primes)
+    consts = [1]
+    for p in primes[:-1]:
+        consts.append(consts[-1] * p)
+    clog = sum(p.bit_length() for p in primes)
+    nA = clog // 8 + 4
+    A = [0] * nA
+
+    def var_chunks(v):
+        out = []
+        for _ in range(2):
+            lo = v & 0xFF
+            out.append(lo)
+            v = (v - lo) >> 8
+        out.append(v)
+        return out
+
+    for const, v in zip(consts, vs):
+        vcs = var_chunks(v)
+        m = 0
+        c = const
+        while c:
+            ck = c & 0xFF
+            if ck:
+                for j, vc in enumerate(vcs):
+                    A[m + j] = A[m + j] + ck * vc
+            c >>= 8
+            m += 1
+
+    evens = 0
+    odds = 0
+    for m in range(0, nA, 2):
+        if not isinstance(A[m], int):
+            q = m // 2
+            part = _nega_roll_digits(A[m], q // 2)
+            if q % 2 == 0:
+                evens = evens + part
+            else:
+                odds = odds + part
+    for m in range(1, nA, 2):
+        if not isinstance(A[m], int):
+            q = m // 2
+            part = _nega_roll_digits(A[m], q // 2) << 8
+            if q % 2 == 0:
+                evens = evens + part
+            else:
+                odds = odds + part
+    out = jnp.stack([evens, odds], axis=-1)
+    return out.reshape(out.shape[:-2] + (2 * out.shape[-2],))
+
+
+def _pair_mod(d0: jax.Array, d1: jax.Array, p: int) -> jax.Array:
+    """(d0 + 2^16 * d1) mod p for balanced digit planes (|d| <= ~2^15.1):
+    split the 2^16 mod p constant into bytes so every partial product stays
+    int32-exact."""
+    c16 = (1 << 16) % p
+    cl, ch = c16 & 0xFF, c16 >> 8
+    t = jnp.mod(d1 * ch, p)
+    return jnp.mod(d0 + d1 * cl + (t << 8), p)
+
+
+def pair_supported(M: int) -> bool:
+    """M = 16-bit digit count; the pair tier serves even M with a
+    power-of-two pair count Mp = M/2 in [4, PAIR_MAX_M]."""
+    Mp = M // 2
+    return M % 2 == 0 and 4 <= Mp <= PAIR_MAX_M and (Mp & (Mp - 1)) == 0
+
+
+def _mulmod_ntt_pair(a: jax.Array, b: jax.Array) -> jax.Array:
+    """(a * b) mod 2^(16M)+1 via the base-2^32 pair tier (see PRIMES_PAIR):
+    digits pair into Mp = M/2 values, 5 sub-2^16 primes, dense [2Mp, 2Mp]
+    int8 plane matmuls -- 2.4x fewer MXU MACs than the 3-prime 16-bit tier
+    at the same ring width."""
+    M = a.shape[-1]
+    Mp = M // 2
+    a = _balanced_pass(a)
+    b = _balanced_pass(b)
+    a0, a1 = a[..., 0::2], a[..., 1::2]
+    b0, b1 = b[..., 0::2], b[..., 1::2]
+    mats = _matrices_p(Mp, PRIMES_PAIR, 2)
+    parts = []
+    for mat in mats:
+        p, k = mat["p"], mat["k"]
+        fa = _apply_block(_to_planes(_pair_mod(a0, a1, p), p, k), mat["F"], p, k)
+        fb = _apply_block(_to_planes(_pair_mod(b0, b1, p), p, k), mat["F"], p, k)
+        parts.append(
+            _apply_block(_to_planes(_modmul(fa, fb, p), p, k), mat["G"], p, k)
+        )
+    return carry_pass(_garner_pair_to_digits(parts, PRIMES_PAIR))
+
+
 def _balanced_pass(x: jax.Array) -> jax.Array:
     """One carry sweep recentering digits to ~[-2^15, 2^15]: the negacyclic
     coefficient bound scales with the SQUARE of the digit bound, so balancing
@@ -414,6 +546,9 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
         if use_pallas() and not _NO_FUSE.get():
             d = _mulmod_ntt_fused(a, b)
             return normmod(d) if canonical else d
+    if pair_supported(M) and os.environ.get("MPIR_FFT_NTT_PAIR", "0") == "1":
+        d = _mulmod_ntt_pair(a, b)
+        return normmod(d) if canonical else d
     a = _balanced_pass(a)
     b = _balanced_pass(b)
     parts = []

@@ -112,6 +112,22 @@ def test_ntt_supported():
     assert not ntt_supported(16384) and not ntt_supported(48)
 
 
+@pytest.mark.parametrize("M", [8, 128, 512])
+def test_mulmod_ntt_pair_ab_path(rng, monkeypatch, M):
+    """Opt-in base-2^32 pair tier (MPIR_FFT_NTT_PAIR=1) must agree with the
+    oracle on redundant signed digits, including the even/odd interleave and
+    pair-granular negacyclic rolls of _garner_pair_to_digits."""
+    from mpir_fft_tpu.ops.ntt import pair_supported
+
+    assert pair_supported(M)
+    monkeypatch.setenv("MPIR_FFT_NTT_PAIR", "1")
+    a = rng.integers(-(1 << 17), 1 << 17, (3, M)).astype(np.int32)
+    b = rng.integers(-(1 << 17), 1 << 17, (3, M)).astype(np.int32)
+    got = mulmod_ntt(jnp.asarray(a), jnp.asarray(b), canonical=True)
+    for i in range(3):
+        check(got[i], ref_mulmod(a[i], b[i], M), M)
+
+
 def test_mulmod_ntt_fused_ab_path(rng, monkeypatch):
     """Opt-in fully-fused Pallas pipeline (MPIR_FFT_NTT_FUSED=1) must agree
     with the default XLA 4-step path bit-for-bit (interpret mode on CPU)."""
