@@ -31,12 +31,27 @@ def _timed(fn, *args, reps: int = 8) -> tuple[float, object]:
     ~26 ms dispatch latency overlaps device execution only once several
     dispatches are queued (measured: a 512 MB copy reads 91 ms/rep at 6 reps
     but 6 ms/rep at 12).  Never .delete() inside the timed region (each
-    delete is a ~50 ms tunnel round trip)."""
+    delete is a ~50 ms tunnel round trip).
+
+    Warmup is a short UNTIMED chain, not one execution: the first chained
+    executions of a program in a process run ~7-10x slow (tunnel buffer-pool
+    / allocator ramp; measured 0.43 s/rep -> 0.042 s/rep for the identical
+    10^9-bit combine program immediately after), and a single fetched call
+    does not get past it."""
     import jax.numpy as jnp
 
     out = fn(*args)
     _ = int(jnp.sum(out))          # compile + one real fetched execution
     out.delete()
+    dep = jnp.zeros((), args[0].dtype)
+    warm = []
+    for _ in range(3):             # untimed chain reaching steady state
+        out = fn(args[0] + dep, *args[1:])
+        dep = out[(0,) * out.ndim] * 0
+        warm.append(out)
+    _ = int(dep)
+    for o in warm:
+        o.delete()
     dep = jnp.zeros((), args[0].dtype)
     outs = []
     t0 = time.perf_counter()
