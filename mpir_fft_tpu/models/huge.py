@@ -46,6 +46,7 @@ from mpir_fft_tpu.ops.limb import (
     div_2expmod,
     mul_2expmod,
     normmod,
+    normmod_div,
     shift_mod,
 )
 from mpir_fft_tpu.ops.mfa import _cross_exps, ifft_mfa_rows
@@ -446,7 +447,7 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
             @jax.jit
             def fin(parts, g0):
                 blk = _gather_rows(parts, g0, gbs, L)
-                blk = normmod(div_2expmod(blk, scale, W))
+                blk = normmod_div(blk, scale, W)
                 return blk.reshape(gbs * n1, L)
             return fin
 
@@ -528,8 +529,8 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
             o = _gather_rows(oparts, g0, gbs, L)
             r = (g0 * n1 + jax.lax.iota(jnp.int32, gbs * n1)).reshape(gbs, n1)
             u = _twiddle_half_traced(o, -r * jnp.int32(w), W)
-            xa = normmod(div_2expmod(carry_pass(s + u), plan.lg_conv, W))
-            xb = normmod(div_2expmod(carry_pass(s - u), plan.lg_conv, W))
+            xa = normmod_div(carry_pass(s + u), plan.lg_conv, W)
+            xb = normmod_div(carry_pass(s - u), plan.lg_conv, W)
             return xa.reshape(gbs * n1, L), xb.reshape(gbs * n1, L)
         return prog
 
@@ -538,7 +539,7 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
         @jax.jit
         def prog(sparts, g0):
             s = _gather_rows(sparts, g0, gbs, L)
-            m = normmod(div_2expmod(carry_pass(s + s), plan.lg_conv, W))
+            m = normmod_div(carry_pass(s + s), plan.lg_conv, W)
             return m.reshape(gbs * n1, L)
         return prog
 

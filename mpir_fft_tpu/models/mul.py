@@ -34,9 +34,8 @@ from mpir_fft_tpu.ops.limb import (
     DIGIT_BITS,
     Ring,
     digits_from_int,
-    div_2expmod,
     int_from_digits,
-    normmod,
+    normmod_div,
 )
 from mpir_fft_tpu.ops.mfa import (
     fft_radix2_mfa,
@@ -87,7 +86,7 @@ def _finish(c, plan: MulPlan, valid: int, con=None):
         with no_auto_fuse():
             return _finish(c, plan, valid)
     W = plan.W
-    c = normmod(div_2expmod(c, plan.lg_conv, W))
+    c = normmod_div(c, plan.lg_conv, W)
     return fft_combine_bits(c[..., :valid, :], plan.bits1, out_len_digits(plan))
 
 
@@ -312,7 +311,7 @@ def _staged_flagship(plan: MulPlan):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def norm_chunk(c):
-        return normmod(div_2expmod(c, plan.lg_conv, W))
+        return normmod_div(c, plan.lg_conv, W)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def inv_transform(prod):

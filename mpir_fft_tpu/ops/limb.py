@@ -211,6 +211,25 @@ def normmod(x: jax.Array) -> jax.Array:
     return _normmod_core(x)
 
 
+def normmod_div(x: jax.Array, d: int, W_bits: int) -> jax.Array:
+    """normmod(div_2expmod(x, d, W)) in ONE pass (ref: the scale + normalize
+    tail of every driver, mul_fft.c:3658-3662).  The staged flagship's
+    normalize stage otherwise pays separate HBM round trips for the static
+    shift and the normmod kernel; fused on VMEM row blocks both cost one."""
+    s = (2 * W_bits - int(d)) % (2 * W_bits)
+
+    def core(r):
+        return _normmod_core(shift_mod(r, s, W_bits))
+
+    if x.ndim >= 2 and x.shape[-1] >= 128:
+        from .fused import fused_rows, use_pallas
+        from .transforms import _NO_FUSE
+
+        if use_pallas() and not _NO_FUSE.get():
+            return fused_rows(core, x)
+    return core(x)
+
+
 def _normmod_core(x: jax.Array) -> jax.Array:
     # Bound digits into scan range: after two passes bound is ~2^16 + 2
     x = carry_pass(carry_pass(x))

@@ -72,7 +72,7 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
     import jax.numpy as jnp
 
     from mpir_fft_tpu.models.mul import DRIVERS, _pointwise, out_len_digits
-    from mpir_fft_tpu.ops.limb import DIGIT_BITS, Ring, div_2expmod, normmod
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, Ring, normmod_div
     from mpir_fft_tpu.ops.mfa import mfa_fft_trunc_sqrt2, mfa_ifft_trunc_sqrt2
     from mpir_fft_tpu.ops.split import fft_combine_bits, fft_split_bits
     from mpir_fft_tpu.utils.params import cdiv, choose_params
@@ -107,7 +107,7 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
 
     @jax.jit
     def norm(c):
-        return normmod(div_2expmod(c, plan.lg_conv, W))
+        return normmod_div(c, plan.lg_conv, W)
 
     @jax.jit
     def inv(prod):
