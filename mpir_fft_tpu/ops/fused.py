@@ -523,3 +523,102 @@ def fused_canonicalize_plain(x):
         interpret=_interpret(),
     )(y, t_shift, row_cin)
     return out.reshape(-1)[:N]
+
+
+def _twiddle_half_rows(x, j, w: int, W: int, extra2: int = 0):
+    """Kernel-body helper: x[r] * 2^((j[r] * w + extra2) / 2) mod p for a
+    per-row index column j [rb, 1] (half-bit exponents; the sqrt2 machinery
+    of ops/sqrt2.twiddle_half expressed on VMEM row blocks)."""
+    from .limb import carry_pass, shift_mod
+
+    e2 = (j * jnp.int32(w) + jnp.int32(extra2)) % jnp.int32(4 * W)
+    k = e2 >> 1
+    odd = e2 & 1
+    plain = shift_mod(x, k % (2 * W), W)
+    hi = shift_mod(x, (k + 3 * W // 4) % (2 * W), W)
+    lo = shift_mod(x, (k + W // 4) % (2 * W), W)
+    return jnp.where(odd == 1, carry_pass(hi - lo), plain)
+
+
+def fused_sqrt2_top_fwd(a, b, w: int, W: int):
+    """Forward sqrt2 top layer in ONE kernel pass (ref top-stage butterfly
+    loop of FFT_radix2_(mfa_)truncate_sqrt2, mul_fft.c:1230-1288, 2232-2265):
+
+        s_j = carry(a_j + b_j),   t_j = (a_j - b_j) * 2^(j w / 2)
+
+    a, b: [..., h, L] (b rows past the truncation point must be zero -- the
+    truncated-input contract -- which makes the layer branchless: s then
+    VALUE-equals a and t equals a * q^j there).  Returns (s, t).  The
+    unfused path costs ~4 separate programs over the halves (measured 30 ms
+    at the 10^9-bit shape); here both outputs stream from one read."""
+    from .limb import carry_pass
+    from .transforms import no_auto_fuse
+
+    h, L = a.shape[-2], a.shape[-1]
+    lead = a.shape[:-2]
+    import math
+
+    B = math.prod(lead) * h if lead else h
+    af = a.reshape(B, L)
+    bf = b.reshape(B, L)
+    Lpad = -(-L // 128) * 128
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (16 * Lpad * a.dtype.itemsize))
+
+    def kernel(a_ref, b_ref, s_ref, t_ref):
+        av, bv = a_ref[...], b_ref[...]
+        start = pl.program_id(0) * rb
+        j = (start + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)) % h
+        with no_auto_fuse():
+            s_ref[...] = carry_pass(av + bv)
+            t_ref[...] = _twiddle_half_rows(av - bv, j, w, W)
+
+    spec = pl.BlockSpec((rb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    s, t = pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=(jax.ShapeDtypeStruct((B, L), a.dtype),) * 2,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(af, bf)
+    return s.reshape(a.shape), t.reshape(a.shape)
+
+
+def fused_sqrt2_top_inv(sl, orr, kpos: int, w: int, W: int):
+    """Inverse sqrt2 top-layer merge in ONE kernel pass (ref cross
+    butterflies of IFFT_radix2_(mfa_)truncate_sqrt2, mul_fft.c:1832-1846,
+    2700-2730): u_j = oR_j * 2^(-j w / 2),  xa_j = carry(sL_j + u_j),
+    xb_j = carry(sL_j - u_j) for j < kpos.  sl, orr: [..., kpos, L].
+    Returns (xa, xb)."""
+    from .limb import carry_pass
+    from .transforms import no_auto_fuse
+
+    L = sl.shape[-1]
+    lead = sl.shape[:-2]
+    import math
+
+    B = math.prod(lead) * kpos if lead else kpos
+    sf = sl.reshape(B, L)
+    of = orr.reshape(B, L)
+    Lpad = -(-L // 128) * 128
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (16 * Lpad * sl.dtype.itemsize))
+
+    def kernel(s_ref, o_ref, xa_ref, xb_ref):
+        sv, ov = s_ref[...], o_ref[...]
+        start = pl.program_id(0) * rb
+        j = (start + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)) % kpos
+        with no_auto_fuse():
+            u = _twiddle_half_rows(ov, -j, w, W)
+            xa_ref[...] = carry_pass(sv + u)
+            xb_ref[...] = carry_pass(sv - u)
+
+    spec = pl.BlockSpec((rb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    xa, xb = pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=(jax.ShapeDtypeStruct((B, L), sl.dtype),) * 2,
+        in_specs=[spec, spec],
+        out_specs=(spec, spec),
+        interpret=_interpret(),
+    )(sf, of)
+    return xa.reshape(sl.shape), xb.reshape(sl.shape)

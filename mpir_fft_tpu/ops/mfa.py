@@ -36,7 +36,7 @@ import jax
 
 from .fused import MAX_FUSED_L, fused_batched, fused_batched_idx, use_pallas
 from .limb import carry_pass, div_2expmod, mul_2expmod
-from .sqrt2 import twiddle_half
+from .sqrt2 import _sqrt2_top_fwd, _sqrt2_top_inv, twiddle_half
 from .transforms import fft_radix2, ifft_radix2, revbin_iota
 from .truncate import _cat, fft_trunc, fft_trunc1, ifft_trunc, ifft_trunc1
 
@@ -306,9 +306,7 @@ def mfa_fft_trunc_sqrt2(x, w: int, W: int, n1: int, trunc: int, con=None):
         return _cat(_flat(left), x[..., h:, :])
     k = trunc - h
     a, b = x[..., :h, :], x[..., h:, :]
-    s = _cat(carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :])
-    d = _cat(a[..., :k, :] - b[..., :k, :], a[..., k:, :])
-    t = twiddle_half(d, np.arange(h, dtype=np.int64) * w, W)
+    s, t = _sqrt2_top_fwd(a, b, k, w, W)
     left = fft_radix2_mfa(_as2d(s, n2, n1), w, W, n1, n2, con=con)
     right = mfa_fft_trunc(_as2d(t, n2, n1), w, W, n1, n2, k // n1,
                           no_zero_tail=True, con=con)
@@ -337,16 +335,15 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
     e2 = np.arange(h, dtype=np.int64) * w
     sL = _flat(ifft_radix2_mfa(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
                                con=con, rows_done=rows_done))
-    # reconstruct missing right-half inputs t_j = s_j q^j, j >= k, unscaled
-    # (ref FFT_twiddle reconstruction of second-half rows, mul_fft.c:2680-2691)
-    tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
-    tail = twiddle_half(tail, e2[k:], W)
+    # reconstruct missing right-half inputs t_j = s_j q^j / 2^lg(h), j >= k
+    # (ref FFT_twiddle reconstruction of second-half rows, mul_fft.c:2680-2691);
+    # the unscaling division folds into the half-bit exponent (q^j / 2^c =
+    # 2^((j w - 2c)/2)), so the whole reconstruction is one twiddle pass
+    tail = twiddle_half(sL[..., k:, :], e2[k:] - 2 * (h.bit_length() - 1), W)
     vr = _cat(v[..., h:trunc, :], tail)
     oR = _flat(mfa_ifft_trunc(_as2d(vr, n2, n1), w, W, n1, n2, k // n1,
                               no_zero_tail=True, con=con,
                               rows_done=rows_done))
-    u = twiddle_half(oR[..., :k, :], -e2[:k], W)
-    xa = carry_pass(sL[..., :k, :] + u)
-    xb = carry_pass(sL[..., :k, :] - u)
+    xa, xb = _sqrt2_top_inv(sL[..., :k, :], oR[..., :k, :], k, w, W)
     mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
     return _cat(xa, mid, xb, v[..., trunc:, :])

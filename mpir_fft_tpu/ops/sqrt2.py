@@ -97,6 +97,41 @@ def _top_exps(h: int, w: int) -> np.ndarray:
     return np.arange(h, dtype=np.int64) * w
 
 
+def _top_fusable(x) -> bool:
+    from .fused import MAX_STAGE_L, use_pallas
+    from .transforms import _NO_FUSE
+
+    return (use_pallas() and not _NO_FUSE.get() and x.ndim >= 2
+            and x.shape[-1] <= MAX_STAGE_L and x.shape[-2] >= 1)
+
+
+def _sqrt2_top_fwd(a, b, k: int, w: int, W: int):
+    """Forward sqrt2 top layer: s = cat(carry(a+b)[:k], a[k:]),
+    t = (a - b) * q^j, with b zero past k (truncated-input contract) so both
+    legs are branchless over the full half.  One fused kernel pass when
+    enabled (ref top-stage loop, mul_fft.c:2232-2265)."""
+    h = a.shape[-2]
+    if _top_fusable(a):
+        from .fused import fused_sqrt2_top_fwd
+
+        return fused_sqrt2_top_fwd(a, b, w, W)
+    s = _cat(carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :])
+    d = _cat(a[..., :k, :] - b[..., :k, :], a[..., k:, :])
+    return s, twiddle_half(d, _top_exps(h, w), W)
+
+
+def _sqrt2_top_inv(sl, orr, k: int, w: int, W: int):
+    """Inverse sqrt2 top-layer merge on the first k positions:
+    u = oR * q^-j, xa = carry(sL + u), xb = carry(sL - u).  One fused kernel
+    pass when enabled (ref cross butterflies, mul_fft.c:2700-2730)."""
+    if _top_fusable(sl):
+        from .fused import fused_sqrt2_top_inv
+
+        return fused_sqrt2_top_inv(sl, orr, k, w, W)
+    u = twiddle_half(orr, -_top_exps(k, w), W)
+    return carry_pass(sl + u), carry_pass(sl - u)
+
+
 def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     """Forward DIF FFT of length C = x.shape[-2] = 4n over the 4n-th root
     q = sqrt2^w (ref FFT_radix2_sqrt2, mul_fft.c:839-885).  Even w reduces to
@@ -147,9 +182,7 @@ def fft_trunc_sqrt2(x, w: int, W: int, trunc: int):
         return _cat(left, x[..., h:, :])
     k = trunc - h
     a, b = x[..., :h, :], x[..., h:, :]
-    s = _cat(carry_pass(a[..., :k, :] + b[..., :k, :]), a[..., k:, :])
-    d = _cat(a[..., :k, :] - b[..., :k, :], a[..., k:, :])
-    t = twiddle_half(d, _top_exps(h, w), W)
+    s, t = _sqrt2_top_fwd(a, b, k, w, W)
     left = fft_radix2(s, w, W)
     right = fft_trunc1(t, w, W, k)
     return _cat(left, right)
@@ -172,13 +205,12 @@ def ifft_trunc_sqrt2(v, w: int, W: int, trunc: int):
     k = trunc - h
     sL = ifft_radix2(v[..., :h, :], w, W)
     # missing right inputs for j >= k: t_j = s_j * q^j, unscaled
-    # (ref reconstruction via FFT_twiddle(_sqrt2), mul_fft.c:1821-1830)
-    tail = div_2expmod(sL[..., k:, :], h.bit_length() - 1, W)
-    tail = twiddle_half(tail, _top_exps(h, w)[k:], W)
+    # (ref reconstruction via FFT_twiddle(_sqrt2), mul_fft.c:1821-1830);
+    # the unscaling division folds into the half-bit exponent
+    tail = twiddle_half(sL[..., k:, :],
+                        _top_exps(h, w)[k:] - 2 * (h.bit_length() - 1), W)
     vr = _cat(v[..., h:trunc, :], tail)
     oR = ifft_trunc1(vr, w, W, k)
-    u = twiddle_half(oR[..., :k, :], -_top_exps(h, w)[:k], W)
-    xa = carry_pass(sL[..., :k, :] + u)
-    xb = carry_pass(sL[..., :k, :] - u)
+    xa, xb = _sqrt2_top_inv(sL[..., :k, :], oR[..., :k, :], k, w, W)
     mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
     return _cat(xa, mid, xb, v[..., trunc:, :])
