@@ -61,6 +61,18 @@ def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
     return Cpad * Lpad * itemsize
 
 
+# largest (C, L) batch row a WHOLE-transform kernel may hold: Mosaic stack-
+# allocates ~19x the block for an unrolled full transform, and the hardware
+# scoped-vmem ceiling is 16M -- a (256, 1024) int32 row (1 MB) measured
+# 19.15M and got rejected, a (128, 1024) row (512 KB) fits.  Wider rows
+# fall to the multi-stage ladder kernels, which grid the transform axis.
+MAX_FUSED_ROW_BYTES = 512 * 1024
+
+
+def whole_row_ok(C: int, L: int, itemsize: int = 4) -> bool:
+    return _padded_row_bytes(C, L, itemsize) <= MAX_FUSED_ROW_BYTES
+
+
 @functools.lru_cache(maxsize=1)
 def _mode() -> str:
     return os.environ.get("MPIR_FFT_PALLAS", "auto").lower()

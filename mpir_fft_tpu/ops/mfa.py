@@ -34,7 +34,8 @@ import jax.numpy as jnp
 
 import jax
 
-from .fused import MAX_FUSED_L, fused_batched, fused_batched_idx, use_pallas
+from .fused import (MAX_FUSED_L, fused_batched, fused_batched_idx,
+                    use_pallas, whole_row_ok)
 from .limb import carry_pass, div_2expmod, mul_2expmod
 from .sqrt2 import _sqrt2_top_fwd, _sqrt2_top_inv, twiddle_half
 from .transforms import fft_radix2, ifft_radix2, revbin_iota
@@ -82,10 +83,12 @@ def _shard_ctx(con):
     return con if (con is not None and hasattr(con, "mesh")) else None
 
 
-def _local_cols(blk, fcol, n1_loc: int, n2: int, w: int, W: int, off):
+def _local_cols(blk, fcol, n1_loc: int, n2: int, w: int, W: int, off,
+                full: bool = True):
     """Device-local column pass over blk [..., n1_loc, n2, L]; off = global
     index of the block's first column (traced)."""
-    if use_pallas() and blk.ndim in (3, 4) and blk.shape[-1] <= MAX_FUSED_L:
+    if (use_pallas() and blk.ndim in (3, 4) and blk.shape[-1] <= MAX_FUSED_L
+            and (not full or whole_row_ok(blk.shape[-2], blk.shape[-1]))):
         flat = blk.reshape((-1,) + blk.shape[-2:])
         out = fused_batched_idx(
             lambda b, st, o: fcol(
@@ -98,7 +101,7 @@ def _local_cols(blk, fcol, n1_loc: int, n2: int, w: int, W: int, off):
     return fcol(blk, _cross_exps(n1_loc, n2, w, W, off))
 
 
-def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
+def _run_cols(xc, con, fcol, n2: int, w: int, W: int, full: bool = True):
     """Column pass: fcol(block, pe) over xc [..., n1, n2, L], whole pass
     fused into VMEM-resident Pallas kernels when possible (one HBM round
     trip for all log2(n2) stages instead of one per stage-op).  Leading dims
@@ -119,13 +122,15 @@ def _run_cols(xc, con, fcol, n2: int, w: int, W: int):
 
         def local(blk):
             off = _jax.lax.axis_index(ctx.axis) * n1_loc
-            return _local_cols(blk, fcol, n1_loc, n2, w, W, off)
+            return _local_cols(blk, fcol, n1_loc, n2, w, W, off, full=full)
 
         return _jax.shard_map(
             local, mesh=ctx.mesh, in_specs=(spec,), out_specs=spec,
             check_vma=False,  # pallas_call outputs carry no vma info
         )(xc)
-    if con is None and use_pallas() and xc.ndim in (3, 4) and xc.shape[-1] <= MAX_FUSED_L:
+    if (con is None and use_pallas() and xc.ndim in (3, 4)
+            and xc.shape[-1] <= MAX_FUSED_L
+            and (not full or whole_row_ok(xc.shape[-2], xc.shape[-1]))):
         flat = xc.reshape((-1,) + xc.shape[-2:])
         out = fused_batched_idx(
             lambda blk, st: fcol(
@@ -158,7 +163,8 @@ def _run_rows(xr, con, frow):
         spec = P(*([None] * (xr.ndim - 3)), ctx.axis, None, None)
 
         def local(blk):
-            if use_pallas() and blk.shape[-1] <= MAX_FUSED_L:
+            if (use_pallas() and blk.shape[-1] <= MAX_FUSED_L
+                    and whole_row_ok(blk.shape[-2], blk.shape[-1])):
                 flat = blk.reshape((-1,) + blk.shape[-2:])
                 return fused_batched(frow, flat).reshape(blk.shape)
             return frow(blk)
@@ -168,7 +174,9 @@ def _run_rows(xr, con, frow):
             check_vma=False,  # pallas_call outputs carry no vma info
         )(xr)
         return out[..., :B, :, :] if pad else out
-    if con is None and use_pallas() and xr.ndim in (3, 4) and xr.shape[-1] <= MAX_FUSED_L:
+    if (con is None and use_pallas() and xr.ndim in (3, 4)
+            and xr.shape[-1] <= MAX_FUSED_L
+            and whole_row_ok(xr.shape[-2], xr.shape[-1])):
         flat = xr.reshape((-1,) + xr.shape[-2:])
         return fused_batched(frow, flat).reshape(xr.shape)
     return frow(xr)
@@ -230,7 +238,8 @@ def mfa_fft_trunc(x, w: int, W: int, n1: int, n2: int, trunc2: int,
     cc = con or (lambda x, s: x)
     f = fft_trunc1 if no_zero_tail else fft_trunc
     xc = jnp.swapaxes(cc(x, "cols"), -3, -2)
-    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe), n2, w, W)
+    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe),
+                   n2, w, W, full=trunc2 == n2)
     xr = cc(jnp.swapaxes(xc, -3, -2), "rows")
     head = _run_rows(xr[..., :trunc2, :, :], con,
                      lambda b: fft_radix2(b, w * n2, W))
@@ -267,7 +276,8 @@ def mfa_ifft_trunc(v, w: int, W: int, n1: int, n2: int, trunc2: int,
         xr = _cat3(head, tail)
     f = ifft_trunc1 if no_zero_tail else ifft_trunc
     xc = jnp.swapaxes(cc(xr, "cols"), -3, -2)
-    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe), n2, w, W)
+    xc = _run_cols(xc, con, lambda b, pe: f(b, w * n1, W, trunc2, pe),
+                   n2, w, W, full=trunc2 == n2)
     return jnp.swapaxes(xc, -3, -2)
 
 

@@ -55,21 +55,27 @@ def _auto_fusable(x) -> bool:
     (the 10^9-bit pointwise stage was 80% of total time)."""
     if _NO_FUSE.get() or x.ndim < 3:
         return False
-    from .fused import MAX_FUSED_L, use_pallas
+    from .fused import MAX_FUSED_L, use_pallas, whole_row_ok
 
-    return x.shape[-1] <= MAX_FUSED_L and use_pallas()
+    return (x.shape[-1] <= MAX_FUSED_L
+            and whole_row_ok(x.shape[-2], x.shape[-1], x.dtype.itemsize)
+            and use_pallas())
 
 
 def _stage_fusable(x) -> bool:
-    """Per-stage kernel fusion for digit widths too wide for whole-transform
-    kernels (one stage's temps fit the Mosaic stack where log2(C) stages'
-    don't).  The unfused fallback pays ~a dozen HBM passes per stage for the
-    barrel-shifted twiddles."""
+    """Per-stage kernel fusion for (C, L) rows too big for whole-transform
+    kernels (one ladder group's temps fit the Mosaic stack where log2(C)
+    stages' don't).  The unfused fallback pays ~a dozen HBM passes per stage
+    for the barrel-shifted twiddles."""
     if _NO_FUSE.get():
         return False
-    from .fused import MAX_FUSED_L, MAX_STAGE_L, use_pallas
+    from .fused import MAX_FUSED_L, MAX_STAGE_L, use_pallas, whole_row_ok
 
-    return MAX_FUSED_L < x.shape[-1] <= MAX_STAGE_L and use_pallas()
+    if x.shape[-1] > MAX_STAGE_L or not use_pallas():
+        return False
+    return x.shape[-1] > MAX_FUSED_L or not whole_row_ok(
+        x.shape[-2], x.shape[-1], x.dtype.itemsize
+    )
 
 
 def _as_col(e):

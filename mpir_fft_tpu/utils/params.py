@@ -71,8 +71,18 @@ class MulPlan:
     @property
     def trunc_mfa(self) -> int:
         """trunc rounded to a multiple of n1 (MFA row granularity,
-        ref mul_fft.c:3613)."""
-        return min(self.conv_len, max(self.n1, self.n1 * cdiv(self.j1 + self.j2 - 1, self.n1)))
+        ref mul_fft.c:3613) -- and rounded UP to the FULL convolution length
+        when >= 7/8 of it: near-full truncation costs more than it saves on
+        TPU (the truncation case recursion's slice/twiddle/add layers are
+        extra passes the full transform doesn't run; measured at 10^9 bits,
+        trunc/conv = 0.94: full 0.623 s vs truncated 0.728 s end-to-end,
+        while at 10^8, trunc/conv = 0.76, truncated wins 0.056 vs 0.070).
+        The reference has no such crossover -- its recursion costs nothing
+        extra per level (mul_fft.c:2212-2355)."""
+        t = min(self.conv_len, max(self.n1, self.n1 * cdiv(self.j1 + self.j2 - 1, self.n1)))
+        if 8 * t >= 7 * self.conv_len:
+            return self.conv_len
+        return t
 
 
 def validate(plan: MulPlan):
