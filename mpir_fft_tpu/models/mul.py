@@ -274,14 +274,28 @@ def flagship_is_huge(plan: MulPlan) -> bool:
 _PW_CHUNK_BYTES = 128 << 20
 
 
+def _inner_leg(plan: MulPlan):
+    """The chunk-local first-inverse leg fused into the pointwise program
+    (ref combined variant, mul_fft.c:2745-2923).  Full-length plans run the
+    flat transforms (ops/mfa.py dispatch), whose chunk-local piece is the
+    innermost ladder group; truncated plans run the MFA, whose piece is the
+    row-IFFT pass.  Identical in both w parities either way."""
+    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+    from mpir_fft_tpu.ops.transforms import ifft_innermost
+
+    W, n1 = plan.W, plan.n1
+    if plan.trunc_mfa == plan.conv_len:
+        Chalf = plan.conv_len // 2
+        return lambda v: ifft_innermost(v, plan.w, W, Chalf)
+    row_w = plan.w * ((plan.conv_len // 2) // n1)
+    return lambda v: ifft_mfa_rows(v, row_w, W, n1)
+
+
 @functools.lru_cache(maxsize=16)
 def _staged_flagship(plan: MulPlan):
-    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
-
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
-    # row-IFFT root: w * n2 in both w parities (mfa.ifft_mfa_rows docstring)
-    row_w = plan.w * ((plan.conv_len // 2) // n1)
+    inner = _inner_leg(plan)
 
     @jax.jit
     def split_prog(d):
@@ -299,15 +313,15 @@ def _staged_flagship(plan: MulPlan):
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def pw_rows_chunk(fa, fb):
-        # pointwise product immediately feeds its rows' first inverse pass
-        # while they are HBM-hot -- one program, so the raw spectrum never
+        # pointwise product immediately feeds its chunk-local first inverse
+        # leg while it is HBM-hot -- one program, so the raw spectrum never
         # round-trips HBM between pointwise and inverse (ref combined
         # variant, mul_fft.c:2745-2923)
-        return ifft_mfa_rows(_pointwise(fa, fb, W, True), row_w, W, n1)
+        return inner(_pointwise(fa, fb, W, True))
 
     @functools.partial(jax.jit, donate_argnums=0)
     def sq_rows_chunk(fa):
-        return ifft_mfa_rows(_pointwise(fa, fa, W, True), row_w, W, n1)
+        return inner(_pointwise(fa, fa, W, True))
 
     @functools.partial(jax.jit, donate_argnums=0)
     def norm_chunk(c):

@@ -305,6 +305,16 @@ def mfa_fft_trunc_sqrt2(x, w: int, W: int, n1: int, trunc: int, con=None):
     h = C4 // 2
     n2 = h // n1
     assert trunc % n1 == 0 and 1 <= trunc <= C4
+    if con is None and trunc == C4:
+        # full-length single-chip: the FLAT 1-D transform beats the 2-D MFA
+        # (no transposes, no cross-twiddle pass -- the VMEM ladder kernels
+        # already provide the locality the MFA blocks for; measured 32 ms vs
+        # 48 ms per half forward at the 10^9-bit shape).  The MFA stays for
+        # sharded runs (its column axis is the mesh axis) and real
+        # truncation.
+        from .sqrt2 import fft_sqrt2
+
+        return fft_sqrt2(x, w, W)
     if w % 2 == 0:
         # even w: plain length-4n MFA with root 2^(w/2) (ref mul_fft.c:850-855)
         out = mfa_fft_trunc(_as2d(x, 2 * n2, n1), w // 2, W, n1, 2 * n2,
@@ -332,6 +342,16 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
     h = C4 // 2
     n2 = h // n1
     assert trunc % n1 == 0 and 1 <= trunc <= C4
+    if con is None and trunc == C4:
+        # full-length single-chip: flat 1-D inverse (see mfa_fft_trunc_sqrt2;
+        # measured 26 ms vs 55 ms per half at the 10^9-bit shape).
+        # rows_done here means the innermost ladder group already ran
+        # chunk-locally in the pointwise program (transforms.ifft_innermost).
+        from .sqrt2 import ifft_sqrt2
+        from .transforms import inner_group
+
+        skip = inner_group(h) if rows_done else 0
+        return ifft_sqrt2(v, w, W, skip_inner=skip)
     if w % 2 == 0:
         out = mfa_ifft_trunc(_as2d(v, 2 * n2, n1), w // 2, W, n1, 2 * n2,
                              trunc // n1, con=con, rows_done=rows_done)

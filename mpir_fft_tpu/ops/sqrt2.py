@@ -141,24 +141,39 @@ def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
         return fft_radix2(x, w // 2, W, post_exps=post_exps)
     h = C // 2
     a, b = x[..., :h, :], x[..., h:, :]
-    s = carry_pass(a + b)
-    t = twiddle_half(a - b, _top_exps(h, w), W)
+    if post_exps is None:
+        s, t = _sqrt2_top_fwd(a, b, h, w, W)
+    else:
+        s = carry_pass(a + b)
+        t = twiddle_half(a - b, _top_exps(h, w), W)
     left = fft_radix2(s, w, W, post_exps=None if post_exps is None else post_exps[:h])
     right = fft_radix2(t, w, W, post_exps=None if post_exps is None else post_exps[h:])
     return _cat(left, right)
 
 
-def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
+def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None,
+               skip_inner: int = 0):
     """Inverse of fft_sqrt2 (times C): ifft halves then top inverse
-    butterflies with q^-j (ref IFFT_radix2_sqrt2, mul_fft.c:1488-1536)."""
+    butterflies with q^-j (ref IFFT_radix2_sqrt2, mul_fft.c:1488-1536).
+
+    skip_inner: the innermost stages already ran chunk-locally via
+    transforms.ifft_innermost (identical stages in both w parities: the
+    even-w length-C transform's innermost group equals the odd-w halves',
+    step for step)."""
     C = x.shape[-2]
     if w % 2 == 0:
-        return ifft_radix2(x, w // 2, W, pre_exps=pre_exps)
+        return ifft_radix2(x, w // 2, W, pre_exps=pre_exps,
+                           skip_inner=skip_inner)
     h = C // 2
     sL = ifft_radix2(x[..., :h, :], w, W,
-                     pre_exps=None if pre_exps is None else pre_exps[:h])
+                     pre_exps=None if pre_exps is None else pre_exps[:h],
+                     skip_inner=skip_inner)
     tR = ifft_radix2(x[..., h:, :], w, W,
-                     pre_exps=None if pre_exps is None else pre_exps[h:])
+                     pre_exps=None if pre_exps is None else pre_exps[h:],
+                     skip_inner=skip_inner)
+    if pre_exps is None:
+        xa, xb = _sqrt2_top_inv(sL, tR, h, w, W)
+        return _cat(xa, xb)
     u = twiddle_half(tR, -_top_exps(h, w), W)
     return _cat(carry_pass(sL + u), carry_pass(sL - u))
 

@@ -171,15 +171,70 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
     return x
 
 
-def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
+def inner_group(C: int) -> int:
+    """Stage count of ifft_radix2's first-executed (innermost) ladder group
+    on a length-C transform: the stages whose butterfly pairs live within
+    contiguous 2^kg position blocks."""
+    from .fused import LADDER
+
+    return min(LADDER, C.bit_length() - 1)
+
+
+def ifft_innermost(v, w: int, W: int, C: int):
+    """Apply ONLY the innermost inner_group(C) inverse stages of the
+    length-C ifft_radix2 to flat row chunks v [..., R, L], R a multiple of
+    K = 2^inner_group(C).  Those stages pair positions within contiguous
+    K-blocks, so they are chunk-local: the staged flagship's pointwise
+    program runs them on each spectrum chunk while it is HBM-hot, and the
+    whole-slab inverse skips them via skip_inner (the flat-transform
+    analogue of the reference's pointwise-into-inverse fusion,
+    IFFT_radix2_mfa_truncate_sqrt2_combined, mul_fft.c:2745-2923)."""
+    D = C.bit_length() - 1
+    kg = inner_group(C)
+    K = 1 << kg
+    lead, R, L = v.shape[:-2], v.shape[-2], v.shape[-1]
+    assert R % K == 0, (R, K)
+    steps = [w << (D - kg + j) for j in range(kg)]
+    from .fused import MAX_STAGE_L, use_pallas
+
+    if use_pallas() and not _NO_FUSE.get() and L <= MAX_STAGE_L:
+        from .fused import fused_butterfly_ladder
+
+        return fused_butterfly_ladder(
+            "inv", v.reshape((-1, K, 1, L)), tuple(steps), W
+        ).reshape(v.shape)
+    x = v.reshape(lead + (R // K, K, L))
+    for l2 in range(kg - 1, -1, -1):
+        h2 = K >> (l2 + 1)
+        blocks = 1 << l2
+        xr = x.reshape(lead + (R // K, blocks, 2, h2, L))
+        s = xr[..., 0, :, :]
+        t = xr[..., 1, :, :]
+        e = _iota_exps(h2, steps[l2])
+        g = steps[l2] & -steps[l2]
+        a, b = butterfly_inv(s, t, e, W, gcd_t=g)
+        x = jnp.stack([a, b], axis=-3).reshape(lead + (R // K, K, L))
+    return x.reshape(v.shape)
+
+
+def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None,
+                skip_inner: int = 0):
     """Inverse of fft_radix2 (times 2^D): revbin-ordered input, natural-order
     output, ifft(fft(x)) == 2^D * x.  With `pre_exps`, input position j is
     first *divided* by 2^pre_exps[j] -- fused into the first inverse stage
-    (ref IFFT_radix2_twiddle, mul_fft.c:1964-2010)."""
+    (ref IFFT_radix2_twiddle, mul_fft.c:1964-2010).
+
+    skip_inner: the caller already applied the innermost `skip_inner` stages
+    chunk-locally via ifft_innermost (possibly computed on a different
+    nominal length -- the even-w sqrt2 dispatch skips inner_group(C/2)
+    stages of the length-C transform, which is fine: the stages are
+    identical, see ops/sqrt2.ifft_sqrt2)."""
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
-    if pre_exps is None and D > 0 and _auto_fusable(x):
+    assert 0 <= skip_inner <= D
+    assert skip_inner == 0 or pre_exps is None
+    if pre_exps is None and D > 0 and skip_inner == 0 and _auto_fusable(x):
         from .fused import fused_batched
 
         flat = x.reshape((-1,) + x.shape[-2:])
@@ -202,7 +257,7 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
         # forward grouping; pre_exps rides the first-executed group)
         from .fused import LADDER, fused_butterfly_ladder
 
-        l_hi = D
+        l_hi = D - skip_inner
         while l_hi > 0:
             kg = min(LADDER, l_hi)
             l = l_hi - kg
@@ -219,7 +274,7 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None):
             ).reshape(lead + (C, L))
             l_hi = l
         return x
-    for l in range(D - 1, -1, -1):
+    for l in range(D - 1 - skip_inner, -1, -1):
         h = C >> (l + 1)
         blocks = 1 << l
         xr = x.reshape(lead + (blocks, 2, h, L))

@@ -78,14 +78,13 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
     from mpir_fft_tpu.utils.params import cdiv, choose_params
 
     assert driver == "flagship", "stage profile covers the flagship pipeline"
-    from mpir_fft_tpu.models.mul import flagship_is_staged
-    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+    from mpir_fft_tpu.models.mul import _inner_leg, flagship_is_staged
 
     plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
     staged = flagship_is_staged(plan)
-    row_w = plan.w * ((plan.conv_len // 2) // n1)
+    inner = _inner_leg(plan)
 
     rng = np.random.default_rng(0)
     L = cdiv(bits, DIGIT_BITS)
@@ -103,7 +102,7 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
         # program (models.mul._staged_flagship pw_rows_chunk; ref combined
         # variant mul_fft.c:2745-2923) -- profile what actually runs
         prod = _pointwise(fa, fb, W, True)
-        return ifft_mfa_rows(prod, row_w, W, n1) if staged else prod
+        return inner(prod) if staged else prod
 
     @jax.jit
     def norm(c):
