@@ -296,16 +296,33 @@ def _staged_flagship(plan: MulPlan):
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
     inner = _inner_leg(plan)
+    h = plan.conv_len // 2
+    # full-length balanced plans split each operand into <= conv/2
+    # coefficients, so the top half of its coefficient array is ALL zero and
+    # the sqrt2 top layer degenerates: s == a, t == a * q^j -- split only h
+    # rows and run one twiddle pass instead of materializing a zero half and
+    # a full add/sub layer (in both w parities the flat DIF's first stage
+    # splits exactly this way, see ops/sqrt2.fft_sqrt2)
+    zerotop = (t == plan.conv_len and max(plan.j1, plan.j2) <= h)
 
     @jax.jit
     def split_prog(d):
-        return fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+        cnt = h if zerotop else plan.conv_len
+        return fft_split_bits(d, plan.bits1, cnt, ring.L)
 
     # donating the coefficient slab into the transform lets XLA reuse the
     # multi-GB buffer for stage outputs -- the 2x10^9-bit fwd otherwise
     # exceeds HBM during compile
     @functools.partial(jax.jit, donate_argnums=0)
     def tf_prog(ia):
+        if zerotop:
+            from mpir_fft_tpu.ops.sqrt2 import _top_exps, twiddle_half
+            from mpir_fft_tpu.ops.transforms import fft_radix2
+
+            tt = twiddle_half(ia, _top_exps(h, plan.w), W)
+            return jnp.concatenate(
+                [fft_radix2(ia, plan.w, W), fft_radix2(tt, plan.w, W)],
+                axis=-2)
         return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)[..., :t, :]
 
     def fwd(d):
