@@ -340,16 +340,22 @@ def _staged_flagship(plan: MulPlan):
     def sq_rows_chunk(fa):
         return inner(_pointwise(fa, fa, W, True))
 
+    flat = t == plan.conv_len
+
     @functools.partial(jax.jit, donate_argnums=0)
     def norm_chunk(c):
         return normmod_div(c, plan.lg_conv, W)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def inv_transform(prod):
+        # flat full-length plans fold the scale+normalize tail into the
+        # inverse's top-merge kernel (norm_div); truncated/MFA plans
+        # normalize in separate chunked programs afterwards
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
         c = mfa_ifft_trunc_sqrt2(
-            jnp.concatenate([prod, pad], axis=-2), plan.w, W, n1, t,
-            rows_done=True)
+            jnp.concatenate([prod, pad], axis=-2) if pad.shape[0] else prod,
+            plan.w, W, n1, t, rows_done=True,
+            norm_div=plan.lg_conv if flat else 0)
         return c[..., :t, :]
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -366,13 +372,16 @@ def _staged_flagship(plan: MulPlan):
 
     def run(da, db=None):
         # one operand at a time keeps peak HBM to input + its transform;
-        # pointwise(+row-IFFT) and normalization stream over row chunks.
-        # db=None: squaring, one forward transform
+        # pointwise(+first-inverse leg) and normalization stream over row
+        # chunks.  db=None: squaring, one forward transform
         if db is None:
             prod = chunked(sq_rows_chunk, fwd(da))
         else:
             prod = chunked(pw_rows_chunk, fwd(da), fwd(db))
-        return combine(chunked(norm_chunk, inv_transform(prod)))
+        c = inv_transform(prod)
+        if not flat:
+            c = chunked(norm_chunk, c)
+        return combine(c)
 
     return run
 

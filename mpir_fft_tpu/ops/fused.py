@@ -596,13 +596,19 @@ def fused_sqrt2_top_fwd(a, b, w: int, W: int):
     return s.reshape(a.shape), t.reshape(a.shape)
 
 
-def fused_sqrt2_top_inv(sl, orr, kpos: int, w: int, W: int):
+def fused_sqrt2_top_inv(sl, orr, kpos: int, w: int, W: int,
+                        norm_div: int = 0):
     """Inverse sqrt2 top-layer merge in ONE kernel pass (ref cross
     butterflies of IFFT_radix2_(mfa_)truncate_sqrt2, mul_fft.c:1832-1846,
     2700-2730): u_j = oR_j * 2^(-j w / 2),  xa_j = carry(sL_j + u_j),
     xb_j = carry(sL_j - u_j) for j < kpos.  sl, orr: [..., kpos, L].
-    Returns (xa, xb)."""
-    from .limb import carry_pass
+    Returns (xa, xb).
+
+    norm_div > 0: additionally divide both outputs by 2^norm_div and
+    canonicalize (limb.normmod) while they are VMEM-resident -- the
+    drivers' scale+normalize tail (mul_fft.c:3658-3662) costs no extra HBM
+    pass this way."""
+    from .limb import _normmod_core, carry_pass, shift_mod
     from .transforms import no_auto_fuse
 
     L = sl.shape[-1]
@@ -613,7 +619,15 @@ def fused_sqrt2_top_inv(sl, orr, kpos: int, w: int, W: int):
     sf = sl.reshape(B, L)
     of = orr.reshape(B, L)
     Lpad = -(-L // 128) * 128
-    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (16 * Lpad * sl.dtype.itemsize))
+    fudge = 24 if norm_div else 16
+    rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (fudge * Lpad * sl.dtype.itemsize))
+    sdiv = (2 * W - norm_div) % (2 * W)
+
+    def post(x):
+        # normmod's own bounding passes subsume the usual carry_pass
+        if not norm_div:
+            return carry_pass(x)
+        return _normmod_core(shift_mod(x, sdiv, W))
 
     def kernel(s_ref, o_ref, xa_ref, xb_ref):
         sv, ov = s_ref[...], o_ref[...]
@@ -621,8 +635,8 @@ def fused_sqrt2_top_inv(sl, orr, kpos: int, w: int, W: int):
         j = (start + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)) % kpos
         with no_auto_fuse():
             u = _twiddle_half_rows(ov, -j, w, W)
-            xa_ref[...] = carry_pass(sv + u)
-            xb_ref[...] = carry_pass(sv - u)
+            xa_ref[...] = post(sv + u)
+            xb_ref[...] = post(sv - u)
 
     spec = pl.BlockSpec((rb, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     xa, xb = pl.pallas_call(

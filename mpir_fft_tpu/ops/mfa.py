@@ -334,10 +334,13 @@ def mfa_fft_trunc_sqrt2(x, w: int, W: int, n1: int, trunc: int, con=None):
 
 
 def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
-                         rows_done: bool = False):
+                         rows_done: bool = False, norm_div: int = 0):
     """Inverse of mfa_fft_trunc_sqrt2 (times 4n = C on positions < trunc).
     rows_done=True: positions < trunc already went through ifft_mfa_rows
-    (root w * n2) -- the pointwise-fused combined variant."""
+    (root w * n2) -- the pointwise-fused combined variant.
+    norm_div > 0: fold the drivers' divide-by-2^norm_div + normmod tail
+    into the inverse (flat full-length dispatch only; other paths must
+    pass 0 and normalize separately)."""
     C4 = v.shape[-2]
     h = C4 // 2
     n2 = h // n1
@@ -351,7 +354,8 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
         from .transforms import inner_group
 
         skip = inner_group(h) if rows_done else 0
-        return ifft_sqrt2(v, w, W, skip_inner=skip)
+        return ifft_sqrt2(v, w, W, skip_inner=skip, norm_div=norm_div)
+    assert norm_div == 0, "norm_div fusion is flat-dispatch only"
     if w % 2 == 0:
         out = mfa_ifft_trunc(_as2d(v, 2 * n2, n1), w // 2, W, n1, 2 * n2,
                              trunc // n1, con=con, rows_done=rows_done)

@@ -120,16 +120,23 @@ def _sqrt2_top_fwd(a, b, k: int, w: int, W: int):
     return s, twiddle_half(d, _top_exps(h, w), W)
 
 
-def _sqrt2_top_inv(sl, orr, k: int, w: int, W: int):
+def _sqrt2_top_inv(sl, orr, k: int, w: int, W: int, norm_div: int = 0):
     """Inverse sqrt2 top-layer merge on the first k positions:
     u = oR * q^-j, xa = carry(sL + u), xb = carry(sL - u).  One fused kernel
-    pass when enabled (ref cross butterflies, mul_fft.c:2700-2730)."""
+    pass when enabled (ref cross butterflies, mul_fft.c:2700-2730).
+    norm_div > 0 additionally divides both outputs by 2^norm_div and
+    canonicalizes in the same pass (the drivers' scale+normalize tail)."""
     if _top_fusable(sl):
         from .fused import fused_sqrt2_top_inv
 
-        return fused_sqrt2_top_inv(sl, orr, k, w, W)
+        return fused_sqrt2_top_inv(sl, orr, k, w, W, norm_div=norm_div)
     u = twiddle_half(orr, -_top_exps(k, w), W)
-    return carry_pass(sl + u), carry_pass(sl - u)
+    xa, xb = carry_pass(sl + u), carry_pass(sl - u)
+    if norm_div:
+        from .limb import normmod_div
+
+        return normmod_div(xa, norm_div, W), normmod_div(xb, norm_div, W)
+    return xa, xb
 
 
 def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
@@ -152,18 +159,27 @@ def fft_sqrt2(x, w: int, W: int, post_exps: np.ndarray | None = None):
 
 
 def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None,
-               skip_inner: int = 0):
+               skip_inner: int = 0, norm_div: int = 0):
     """Inverse of fft_sqrt2 (times C): ifft halves then top inverse
     butterflies with q^-j (ref IFFT_radix2_sqrt2, mul_fft.c:1488-1536).
 
     skip_inner: the innermost stages already ran chunk-locally via
     transforms.ifft_innermost (identical stages in both w parities: the
     even-w length-C transform's innermost group equals the odd-w halves',
-    step for step)."""
+    step for step).
+
+    norm_div > 0: divide outputs by 2^norm_div and canonicalize -- fused
+    into the top-merge kernel for odd w, appended in-program for even w
+    (the drivers' scale+normalize tail, mul_fft.c:3658-3662)."""
     C = x.shape[-2]
     if w % 2 == 0:
-        return ifft_radix2(x, w // 2, W, pre_exps=pre_exps,
-                           skip_inner=skip_inner)
+        out = ifft_radix2(x, w // 2, W, pre_exps=pre_exps,
+                          skip_inner=skip_inner)
+        if norm_div:
+            from .limb import normmod_div
+
+            out = normmod_div(out, norm_div, W)
+        return out
     h = C // 2
     sL = ifft_radix2(x[..., :h, :], w, W,
                      pre_exps=None if pre_exps is None else pre_exps[:h],
@@ -172,8 +188,9 @@ def ifft_sqrt2(x, w: int, W: int, pre_exps: np.ndarray | None = None,
                      pre_exps=None if pre_exps is None else pre_exps[h:],
                      skip_inner=skip_inner)
     if pre_exps is None:
-        xa, xb = _sqrt2_top_inv(sL, tR, h, w, W)
+        xa, xb = _sqrt2_top_inv(sL, tR, h, w, W, norm_div=norm_div)
         return _cat(xa, xb)
+    assert norm_div == 0
     u = twiddle_half(tR, -_top_exps(h, w), W)
     return _cat(carry_pass(sL + u), carry_pass(sL - u))
 

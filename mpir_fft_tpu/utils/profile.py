@@ -104,15 +104,21 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
         prod = _pointwise(fa, fb, W, True)
         return inner(prod) if staged else prod
 
+    flat = t == plan.conv_len
+
     @jax.jit
     def norm(c):
         return normmod_div(c, plan.lg_conv, W)
 
     @jax.jit
     def inv(prod):
+        # flat plans fold scale+normalize into the inverse (production
+        # behavior); the separate normalize stage then reports ~0
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
-        c = mfa_ifft_trunc_sqrt2(jnp.concatenate([prod, pad], axis=-2),
-                                 plan.w, W, n1, t, rows_done=staged)
+        c = mfa_ifft_trunc_sqrt2(
+            jnp.concatenate([prod, pad], axis=-2) if pad.shape[0] else prod,
+            plan.w, W, n1, t, rows_done=staged,
+            norm_div=plan.lg_conv if flat else 0)
         return c[..., :t, :]
 
     @jax.jit
@@ -137,9 +143,12 @@ def profile_stages(bits: int, reps: int = 8, driver: str = "flagship") -> dict:
     s, c = _timed(inv, prod, reps=reps)
     out["inverse_s"] = round(s, 6)
     prod.delete()
-    s, c2 = _timed(norm, c, reps=reps)
-    out["normalize_s"] = round(s, 6)
-    c.delete()
+    if flat:
+        c2 = c   # normalize is folded into the inverse
+    else:
+        s, c2 = _timed(norm, c, reps=reps)
+        out["normalize_s"] = round(s, 6)
+        c.delete()
     s, _ = _timed(combine, c2, reps=reps)
     out["combine_s"] = round(s, 6)
     out["total_s"] = round(sum(v for k, v in out.items() if k.endswith("_s")), 6)
