@@ -72,15 +72,15 @@ class MulPlan:
     def trunc_mfa(self) -> int:
         """trunc rounded to a multiple of n1 (MFA row granularity,
         ref mul_fft.c:3613) -- and rounded UP to the FULL convolution length
-        when >= 7/8 of it: near-full truncation costs more than it saves on
-        TPU (the truncation case recursion's slice/twiddle/add layers are
-        extra passes the full transform doesn't run; measured at 10^9 bits,
-        trunc/conv = 0.94: full 0.623 s vs truncated 0.728 s end-to-end,
-        while at 10^8, trunc/conv = 0.76, truncated wins 0.056 vs 0.070).
-        The reference has no such crossover -- its recursion costs nothing
-        extra per level (mul_fft.c:2212-2355)."""
+        when >= 9/16 of it: with the flat-transform dispatch, the full
+        transforms beat the truncation case recursion's slice/twiddle/add
+        layers down to trunc/conv ~0.57 (measured flagship A/B on v5e:
+        ratio 0.94 full wins 0.468 vs 0.728 s; 0.76 full 49 vs 55 ms;
+        0.64 full 7.8 vs 10.5 ms; 0.57 tie).  The reference has no such
+        crossover -- its recursion costs nothing extra per level
+        (mul_fft.c:2212-2355)."""
         t = min(self.conv_len, max(self.n1, self.n1 * cdiv(self.j1 + self.j2 - 1, self.n1)))
-        if 8 * t >= 7 * self.conv_len:
+        if 16 * t >= 9 * self.conv_len:
             return self.conv_len
         return t
 
@@ -145,6 +145,12 @@ def plan_cost(plan: MulPlan) -> float:
     from mpir_fft_tpu.ops.pointwise import _use_ntt
 
     L = plan.W // DIGIT_BITS
+    # price with the NATURAL trunc even though sqrt2 plans round near-full
+    # truncation up to conv at runtime: the rounded full-flat path runs at
+    # least as fast as the truncated one in that regime (that is why it is
+    # chosen), so natural-trunc pricing preserves the empirically-validated
+    # depth ordering; pricing the rounded length made the planner flee to
+    # strictly worse shallow/wide plans
     t = plan.trunc
     fft_cost = 3 * t * L * plan.lg_conv * 3
     pw_unit = t * (2 * L) ** 2 // 8
