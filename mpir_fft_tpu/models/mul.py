@@ -328,17 +328,36 @@ def _staged_flagship(plan: MulPlan):
     def fwd(d):
         return tf_prog(split_prog(d))
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def pw_rows_chunk(fa, fb):
+    def _pw_inner(fa, fb):
         # pointwise product immediately feeds its chunk-local first inverse
         # leg while it is HBM-hot -- one program, so the raw spectrum never
         # round-trips HBM between pointwise and inverse (ref combined
-        # variant, mul_fft.c:2745-2923)
+        # variant, mul_fft.c:2745-2923).  For full-length flat plans the
+        # leg rides INSIDE the NTT's Garner kernel (zero extra round trips);
+        # if the pointwise routes away from the NTT the hook reports
+        # unconsumed and the leg runs as its own kernel pass.
+        if t == plan.conv_len:
+            from mpir_fft_tpu.ops.ntt import garner_post
+            from mpir_fft_tpu.ops.transforms import (ifft_innermost_body,
+                                                     inner_group)
+
+            Chalf = plan.conv_len // 2
+            D = Chalf.bit_length() - 1
+            kg = inner_group(Chalf)
+            steps = [plan.w << (D - kg + j) for j in range(kg)]
+            body = lambda blk: ifft_innermost_body(blk, steps, W, 1 << kg)
+            with garner_post(ring.L, 1 << kg, body) as cell:
+                prod = _pointwise(fa, fb, W, True)
+            return prod if cell["consumed"] else inner(prod)
         return inner(_pointwise(fa, fb, W, True))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pw_rows_chunk(fa, fb):
+        return _pw_inner(fa, fb)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def sq_rows_chunk(fa):
-        return inner(_pointwise(fa, fa, W, True))
+        return _pw_inner(fa, fa)
 
     flat = t == plan.conv_len
 

@@ -373,11 +373,38 @@ def _garner_to_digits(rs, primes) -> jax.Array:
     return even + (odd << 8)
 
 
+import contextlib
+import contextvars
+
+# trace-time hook: (expected_M, row_multiple, body, consumed_cell).  The
+# staged flagship sets it around the pointwise call so the chunk's first
+# inverse leg (transforms.ifft_innermost_body) runs INSIDE the Garner
+# kernel -- zero extra HBM round trips (ref combined variant,
+# mul_fft.c:2745-2923).  consumed_cell lets the caller detect when the
+# pointwise routed away from the NTT (recursive/schoolbook) and apply the
+# leg separately.
+_GARNER_POST = contextvars.ContextVar("mpir_fft_garner_post", default=None)
+
+
+@contextlib.contextmanager
+def garner_post(M: int, K: int, body):
+    """Install `body` (pure ops on [rb, M] row blocks, rb a multiple of K)
+    as the Garner kernel's epilogue for rings of exactly M digits.  Yields a
+    dict whose 'consumed' becomes True if a matching Garner kernel traced."""
+    cell = {"consumed": False}
+    tok = _GARNER_POST.set((M, K, body, cell))
+    try:
+        yield cell
+    finally:
+        _GARNER_POST.reset(tok)
+
+
 def _garner_carry(parts, primes) -> jax.Array:
     """carry_pass(_garner_to_digits(parts, primes)), fused into ONE Pallas
     row-block kernel when enabled: the ~30 elementwise links of the Garner
     spread otherwise cost several whole-batch HBM passes (measured 11 ms ->
-    5.4 ms per 16384x2048 pointwise chunk; ~45 ms of the 10^9-bit multiply)."""
+    5.4 ms per 16384x2048 pointwise chunk; ~45 ms of the 10^9-bit multiply).
+    A matching garner_post body is applied in the same kernel."""
     x = parts[0]
     if x.ndim >= 2 and x.shape[-1] >= 128:
         from .fused import VMEM_SCOPED_LIMIT, _interpret, _pick_row_block, use_pallas
@@ -389,15 +416,34 @@ def _garner_carry(parts, primes) -> jax.Array:
             from jax.experimental import pallas as pl
             from jax.experimental.pallas import tpu as pltpu
 
+            from .transforms import no_auto_fuse
+
             M = x.shape[-1]
             lead = x.shape[:-1]
             B = math.prod(lead)
             flats = [p.reshape(B, M) for p in parts]
-            rb = _pick_row_block(B, VMEM_SCOPED_LIMIT // (16 * M * x.dtype.itemsize))
+            hook = _GARNER_POST.get()
+            post = None
+            fudge = 16
+            if hook is not None and hook[0] == M and B % hook[1] == 0:
+                _, rowq, body, cell = hook
+                # row blocks must hold whole K-groups of the inverse leg
+                r = _pick_row_block(B, VMEM_SCOPED_LIMIT // (24 * M * x.dtype.itemsize))
+                r -= r % rowq
+                while r >= rowq and B % r:
+                    r -= rowq
+                if r >= rowq:
+                    post, cell["consumed"], fudge, rbq = body, True, 24, r
+            rb = rbq if post is not None else _pick_row_block(
+                B, VMEM_SCOPED_LIMIT // (fudge * M * x.dtype.itemsize))
 
             def kernel(*refs):
                 rs = tuple(r[...] for r in refs[:-1])
-                refs[-1][...] = carry_pass(_garner_to_digits(rs, primes))
+                d = carry_pass(_garner_to_digits(rs, primes))
+                if post is not None:
+                    with no_auto_fuse():
+                        d = post(d)
+                refs[-1][...] = d
 
             spec = pl.BlockSpec((rb, M), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)

@@ -192,8 +192,8 @@ def ifft_innermost(v, w: int, W: int, C: int):
     D = C.bit_length() - 1
     kg = inner_group(C)
     K = 1 << kg
-    lead, R, L = v.shape[:-2], v.shape[-2], v.shape[-1]
-    assert R % K == 0, (R, K)
+    L = v.shape[-1]
+    assert v.shape[-2] % K == 0, (v.shape, K)
     steps = [w << (D - kg + j) for j in range(kg)]
     from .fused import MAX_STAGE_L, use_pallas
 
@@ -203,11 +203,20 @@ def ifft_innermost(v, w: int, W: int, C: int):
         return fused_butterfly_ladder(
             "inv", v.reshape((-1, K, 1, L)), tuple(steps), W
         ).reshape(v.shape)
+    return ifft_innermost_body(v, steps, W, K)
+
+
+def ifft_innermost_body(v, steps, W: int, K: int):
+    """Pure-ops core of ifft_innermost on [..., R, L] (R a multiple of K):
+    also usable INSIDE a Pallas kernel (ntt._garner_carry fuses it as a
+    post-body so the pointwise chunk's first inverse leg costs no extra HBM
+    round trip)."""
+    lead, R, L = v.shape[:-2], v.shape[-2], v.shape[-1]
+    kg = len(steps)
     x = v.reshape(lead + (R // K, K, L))
     for l2 in range(kg - 1, -1, -1):
         h2 = K >> (l2 + 1)
-        blocks = 1 << l2
-        xr = x.reshape(lead + (R // K, blocks, 2, h2, L))
+        xr = x.reshape(lead + (R // K, 1 << l2, 2, h2, L))
         s = xr[..., 0, :, :]
         t = xr[..., 1, :, :]
         e = _iota_exps(h2, steps[l2])
