@@ -39,6 +39,31 @@ def rand_bits(rng, bits):
     return v & ((1 << bits) - 1)
 
 
+# Authoritative quiet-host GMP mpn_mul baselines (BASELINE.md, 2026-08-17,
+# single core, best of 5 on an idle machine).  The in-run measurement below
+# absorbs whatever load the driver adds and reads 1.3-3x HIGH, which would
+# inflate vs_baseline; the honest denominator is the BEST (fastest) GMP time
+# ever observed for the size, so report against min(in-run, quiet-host).
+QUIET_HOST_GMP_S = {
+    1_000_000: 0.00362,
+    10_000_000: 0.0541,
+    100_000_000: 0.782,
+    1_000_000_000: 8.82,
+}
+
+
+def honest_baseline(bits: int, measured_s: float | None) -> tuple[float, dict]:
+    quiet = QUIET_HOST_GMP_S.get(bits)
+    cands = [s for s in (measured_s, quiet) if s is not None]
+    base_s = min(cands)
+    info = {"kind": "gmp_mpn_mul", "seconds": round(base_s, 6)}
+    if measured_s is not None:
+        info["in_run_seconds"] = round(measured_s, 6)
+    if quiet is not None:
+        info["quiet_host_seconds"] = quiet
+    return base_s, info
+
+
 # exactness check: full a*b in CPython is O(n^1.58) and takes tens of minutes
 # at 10^9 bits; checking got == a*b mod a few 62-bit primes is O(n) per prime
 # (seconds) and catches any error except with probability ~2^-186
@@ -166,12 +191,14 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     log("bench: measuring CPU baseline")
 
     base = native.gmp_baseline(bits, 2)
-    if base is not None:
-        base_s, base_kind = base["value"], "gmp_mpn_mul"
+    if base is not None or bits in QUIET_HOST_GMP_S:
+        base_s, base_info = honest_baseline(
+            bits, base["value"] if base is not None else None)
     else:
         t0 = time.perf_counter()
         _ = a * b
-        base_s, base_kind = time.perf_counter() - t0, "cpython_int"
+        base_s = time.perf_counter() - t0
+        base_info = {"kind": "cpython_int", "seconds": round(base_s, 6)}
 
     return {
         "metric": f"mul_{bits}bit_walltime",
@@ -179,7 +206,7 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
         "unit": "s",
         "vs_baseline": round(base_s / wall, 3),
         "exact": bool(ok),
-        "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
+        "baseline": base_info,
         "driver": driver,
         "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
         "device": str(jax.devices()[0]),
@@ -243,13 +270,14 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
     )
     log("bench-batch: measuring CPU baseline")
     base = native.gmp_baseline(bits, 2)
-    base_s, base_kind = (
-        (base["value"], "gmp_mpn_mul") if base is not None else (None, None)
-    )
-    if base_s is None:
+    if base is not None or bits in QUIET_HOST_GMP_S:
+        base_s, base_info = honest_baseline(
+            bits, base["value"] if base is not None else None)
+    else:
         t0 = time.perf_counter()
         _ = pairs[0][0] * pairs[0][1]
-        base_s, base_kind = time.perf_counter() - t0, "cpython_int"
+        base_s = time.perf_counter() - t0
+        base_info = {"kind": "cpython_int", "seconds": round(base_s, 6)}
 
     return {
         "metric": f"mul_{bits}bit_batch{k}_per_product",
@@ -258,7 +286,7 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
         "vs_baseline": round(base_s / per_product, 3),
         "exact": bool(ok),
         "throughput_products_per_s": round(1.0 / per_product, 3),
-        "baseline": {"kind": base_kind, "seconds": round(base_s, 6)},
+        "baseline": base_info,
         "driver": driver,
         "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
         "device": str(jax.devices()[0]),
@@ -301,6 +329,14 @@ def main():
         log(f"bench: === {bits} bits ===")
         sweep.append(bench_one(bits))
     head = sweep[-1]  # headline = largest size (the BASELINE.md north star)
+    # one batched-throughput datapoint: small single products are dispatch-
+    # latency-bound (BASELINE.md), the batch mode is the production answer
+    if not sizes_env:
+        log("bench: === 1e6-bit batch throughput ===")
+        try:
+            sweep.append(bench_batch(1_000_000, 16))
+        except Exception as e:  # a batch failure must not sink the sweep
+            log(f"bench: batch datapoint failed: {e!r}")
     print(
         json.dumps(
             {

@@ -103,16 +103,24 @@ def cmd_selftest(args) -> int:
 def cmd_tune(args) -> int:
     from mpir_fft_tpu.utils.tune import tuned_plan
 
-    plan = tuned_plan(args.bits, args.bits, args.driver, reps=args.reps)
-    print(json.dumps({"driver": args.driver, "bits": args.bits,
-                      "depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2}))
+    sizes = ([10 ** e for e in (6, 7, 8, 9)] if args.sweep else [args.bits])
+    for bits in sizes:
+        plan = tuned_plan(bits, bits, args.driver, reps=args.reps)
+        print(json.dumps({"driver": args.driver, "bits": bits,
+                          "depth": plan.depth, "w": plan.w,
+                          "sqrt2": plan.sqrt2}))
     return 0
 
 
 def cmd_profile(args) -> int:
-    from mpir_fft_tpu.utils.profile import profile_stages
+    from mpir_fft_tpu.utils.profile import profile_stages, profile_transforms
 
-    print(json.dumps(profile_stages(args.bits, reps=args.reps)))
+    if args.transforms:
+        print(json.dumps(profile_transforms(
+            args.depth, args.w, reps=args.reps, batch=args.batch)))
+    else:
+        print(json.dumps(profile_stages(
+            args.bits, reps=args.reps, driver=args.driver)))
     return 0
 
 
@@ -155,11 +163,23 @@ def main(argv=None) -> int:
     t.add_argument("--bits", type=int, default=10_000_000)
     t.add_argument("--driver", default="flagship")
     t.add_argument("--reps", type=int, default=3)
+    t.add_argument("--sweep", action="store_true",
+                   help="pre-populate the cache at 10^6..10^9 bits")
     t.set_defaults(fn=cmd_tune)
 
-    pr = sub.add_parser("profile", help="per-stage wall times of the flagship pipeline")
+    pr = sub.add_parser(
+        "profile",
+        help="per-stage wall times of any driver pipeline, or per-transform "
+             "times with --transforms (ref time_mfa/time_ifft/..., "
+             "mul_fft.c:5105-5286)")
     pr.add_argument("--bits", type=int, default=10_000_000)
     pr.add_argument("--reps", type=int, default=3)
+    pr.add_argument("--driver", default="flagship")
+    pr.add_argument("--transforms", action="store_true",
+                    help="time individual transforms at (--depth, --w)")
+    pr.add_argument("--depth", type=int, default=12)
+    pr.add_argument("--w", type=int, default=1)
+    pr.add_argument("--batch", type=int, default=1)
     pr.set_defaults(fn=cmd_profile)
 
     g = sub.add_parser("baseline", help="time GMP mpn_mul (CPU baseline)")

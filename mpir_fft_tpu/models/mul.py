@@ -407,6 +407,29 @@ def _staged_flagship(plan: MulPlan):
 
 _SMALL_THRESHOLD_BITS = 1 << 14
 
+
+def _tune_enabled() -> bool:
+    import os
+
+    return os.environ.get("MPIR_FFT_TUNE", "1").lower() not in (
+        "0", "off", "false")
+
+
+def _select_plan(bits_a: int, bits_b: int, driver: str) -> "MulPlan":
+    """Production plan choice: a MEASURED tuning-cache entry (utils.tune,
+    populated by `cli tune`) wins over the analytic model when one exists
+    for this size bucket -- the analytic plan_cost constants are calibrated
+    at a handful of points and a mis-priced size would otherwise regress
+    silently.  MPIR_FFT_TUNE=0 disables the cache lookup (pure analytic,
+    the A/B control)."""
+    if _tune_enabled():
+        from mpir_fft_tpu.utils.tune import cached_plan
+
+        plan = cached_plan(bits_a, bits_b, driver)
+        if plan is not None:
+            return plan
+    return choose_params(bits_a, bits_b, sqrt2=DRIVERS[driver][1])
+
 DRIVERS = {
     "radix2": (mpn_mul_radix2, False),
     "sqrt2": (mpn_mul_sqrt2, True),
@@ -418,11 +441,42 @@ DRIVERS = {
 }
 
 
+def _require_huge_servable(plan: MulPlan) -> None:
+    """Plans past the out-of-core threshold MUST be huge-servable: the staged
+    fallback's whole-spectrum buffers blow HBM at those sizes (module note
+    above _HUGE_THRESHOLD_ELEMS), so a silent fallback would OOM minutes into
+    the run.  Fail at plan time with the violated constraint instead (the
+    failure mode the reference documents as 'will just segfault',
+    mul_fft.c:3186-3188 -- this build refuses loudly)."""
+    from mpir_fft_tpu.models.huge import huge_serves
+
+    if plan.conv_len * (plan.W // DIGIT_BITS) <= _HUGE_THRESHOLD_ELEMS:
+        return
+    if huge_serves(plan):
+        return
+    h = plan.conv_len // 2
+    why = []
+    if plan.j1 > h or plan.j2 > h:
+        why.append(
+            f"unbalanced operands: j1={plan.j1}, j2={plan.j2} must both be "
+            f"<= conv_len/2 = {h} (pick a deeper plan or balance the inputs)")
+    if plan.bits1 % DIGIT_BITS:
+        why.append(f"bits1={plan.bits1} not digit-aligned")
+    if plan.trunc_mfa % plan.n1:
+        why.append(f"trunc_mfa={plan.trunc_mfa} not a multiple of n1={plan.n1}")
+    raise ValueError(
+        "plan exceeds the in-HBM staged pipeline's capacity "
+        f"({plan.conv_len}x{plan.W // DIGIT_BITS} int32 elems > "
+        f"{_HUGE_THRESHOLD_ELEMS}) but the out-of-core engine cannot serve "
+        "it: " + "; ".join(why))
+
+
 @functools.lru_cache(maxsize=64)
 def _jitted_driver(kind: str, plan: MulPlan):
     fn, needs_sqrt2 = DRIVERS[kind]
     assert plan.sqrt2 == needs_sqrt2, (kind, plan)
     if kind == "flagship":
+        _require_huge_servable(plan)
         if flagship_is_huge(plan):
             from mpir_fft_tpu.models.huge import mul_huge
 
@@ -434,6 +488,7 @@ def _jitted_driver(kind: str, plan: MulPlan):
 
 @functools.lru_cache(maxsize=64)
 def _jitted_sqr(plan: MulPlan):
+    _require_huge_servable(plan)
     if flagship_is_huge(plan):
         from mpir_fft_tpu.models.huge import sqr_huge
 
@@ -469,7 +524,7 @@ def mul_many(pairs, driver: str = "flagship") -> list[int]:
     bb = max(b.bit_length() for _, b in pairs)
     if ba == 0 or bb == 0 or ba + bb <= _SMALL_THRESHOLD_BITS or len(pairs) == 1:
         return [a * b for a, b in pairs]
-    plan = choose_params(ba, bb, sqrt2=DRIVERS[driver][1])
+    plan = _select_plan(ba, bb, driver)
     if driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan)):
         return [mul(a, b, driver) for a, b in pairs]
     La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)
@@ -491,7 +546,7 @@ def mul(a: int, b: int, driver: str = "flagship") -> int:
     ba, bb = a.bit_length(), b.bit_length()
     if ba + bb <= _SMALL_THRESHOLD_BITS:
         return a * b
-    plan = choose_params(ba, bb, sqrt2=DRIVERS[driver][1])
+    plan = _select_plan(ba, bb, driver)
     La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)
     da = jnp.asarray(digits_from_int(a, La))
     db = jnp.asarray(digits_from_int(b, Lb))
@@ -511,7 +566,7 @@ def sqr(a: int) -> int:
     ba = a.bit_length()
     if 2 * ba <= _SMALL_THRESHOLD_BITS:
         return a * a
-    plan = choose_params(ba, ba, sqrt2=True)
+    plan = _select_plan(ba, ba, "flagship")
     da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
     out = _jitted_sqr(plan)(da)
     return int_from_digits(np.asarray(out))

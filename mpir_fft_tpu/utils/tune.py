@@ -93,6 +93,25 @@ def measure_plan(kind: str, plan: MulPlan, reps: int = 3) -> float:
     return (time.perf_counter() - t0) / reps
 
 
+def cached_plan(bits_a: int, bits_b: int, driver: str = "flagship") -> MulPlan | None:
+    """Plan from a previous tuning run's cache bucket, or None.  Never
+    measures -- this is the production fast path models.mul consults on
+    every call (the reference's only runtime heuristic is analytic,
+    mul_fft.c:3141-3162; here a measured result, once recorded, beats the
+    analytic model silently mis-pricing a size)."""
+    from mpir_fft_tpu.models.mul import DRIVERS
+
+    sqrt2 = DRIVERS[driver][1]
+    key = f"{driver}:{_bucket(bits_a)}:{_bucket(bits_b)}"
+    entry = _load_cache().get(key)
+    if entry is None:
+        return None
+    try:
+        return plan_for_depth(bits_a, bits_b, entry["depth"], sqrt2)
+    except AssertionError:
+        return None
+
+
 def tuned_plan(bits_a: int, bits_b: int, driver: str = "flagship",
                reps: int = 3, use_cache: bool = True) -> MulPlan:
     """Best measured plan for this size/driver (cached)."""
