@@ -291,8 +291,99 @@ def _inner_leg(plan: MulPlan):
     return lambda v: ifft_mfa_rows(v, row_w, W, n1)
 
 
+def _staged_flagship_sharded(plan: MulPlan, ctx):
+    """The staged flagship's stage programs under a device mesh (the
+    production multi-chip path: plans above _STAGED_THRESHOLD_ELEMS are
+    exactly the 10^8/10^9-bit sizes multi-chip exists for).
+
+    ctx is a parallel.mfa_sharded.ShardCtx.  Split/forward and
+    inverse/combine run the MFA transforms with ctx as their constrainer:
+    column FFTs shard over the mesh's column axis and run the same fused
+    Pallas kernels per device block (ops.mfa._run_cols/_run_rows), one ICI
+    all-to-all at the column<->row boundary (ref: the MFA column walk this
+    shards, mul_fft.c:2035-2051; README:87).  The pointwise product plus the
+    chunk-local first-inverse row leg (ref combined variant,
+    mul_fft.c:2745-2923) run under an explicit shard_map over spectrum rows:
+    positionwise, zero collectives.
+
+    Two single-chip specializations stay OFF here by design: the
+    flat-dispatch full-length transforms (no sharded formulation -- the MFA
+    column axis IS the mesh axis, ops/mfa.py:300-317 gates flat on
+    con is None) and the Garner-fused inverse leg + norm_div tail folding
+    (flat-dispatch-only).  Per-device HBM is bounded by the shard factor:
+    at the 10^9-bit north-star config (t = 131072 rows, L = 2048) an 8-way
+    shard holds 16384 spectrum rows per device -- the same working set the
+    unsharded pipeline's 128 MB pointwise chunks bound."""
+    from jax.sharding import PartitionSpec as P
+
+    from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+
+    ring = Ring(plan.n, plan.w)
+    W, n1, t = plan.W, plan.n1, plan.trunc_mfa
+    row_w = plan.w * ((plan.conv_len // 2) // n1)
+
+    @jax.jit
+    def split_prog(d):
+        return fft_split_bits(d, plan.bits1, plan.conv_len, ring.L)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def tf_prog(ia):
+        return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=ctx)[..., :t, :]
+
+    def _pw_local(fa, fb):
+        prod = _pointwise(fa, fb, W, True)
+        return ifft_mfa_rows(prod, row_w, W, n1)
+
+    # rows shard evenly in whole row-IFFT groups, else keep pointwise
+    # unsharded (correct, replicated -- only tiny/degenerate plans hit this)
+    spec = P(ctx.axis, None)
+    if t % ctx.ndev == 0 and (t // ctx.ndev) % n1 == 0:
+        pw_core = jax.shard_map(
+            _pw_local, mesh=ctx.mesh, in_specs=(spec, spec), out_specs=spec,
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+    else:
+        pw_core = _pw_local
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def pw_prog(fa, fb):
+        return pw_core(fa, fb)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def sq_prog(fa):
+        return pw_core(fa, fa)
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def inv_prog(prod):
+        pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
+        c = mfa_ifft_trunc_sqrt2(
+            jnp.concatenate([prod, pad], axis=-2) if pad.shape[0] else prod,
+            plan.w, W, n1, t, con=ctx, rows_done=True)
+        return c[..., :t, :]
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def norm_prog(c):
+        return normmod_div(c, plan.lg_conv, W)
+
+    @jax.jit
+    def combine(c):
+        return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
+
+    def run(da, db=None):
+        fa = tf_prog(split_prog(da))
+        if db is None:
+            prod = sq_prog(fa)
+        else:
+            prod = pw_prog(fa, tf_prog(split_prog(db)))
+        return combine(norm_prog(inv_prog(prod)))
+
+    return run
+
+
 @functools.lru_cache(maxsize=16)
-def _staged_flagship(plan: MulPlan):
+def _staged_flagship(plan: MulPlan, ctx=None):
+    if ctx is not None:
+        return _staged_flagship_sharded(plan, ctx)
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
     inner = _inner_leg(plan)

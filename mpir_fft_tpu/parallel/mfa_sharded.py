@@ -64,8 +64,20 @@ def make_constrainer(mesh: Mesh, axis: str = "cols"):
 
 
 def sharded_mul_fn(mesh: Mesh, plan, driver: str = "mfa"):
-    """Jitted multiply with column/row-sharded MFA over `mesh` (axis 'cols')."""
+    """Multiply with column/row-sharded MFA over `mesh` (axis 'cols').
+
+    Flagship plans above the staged threshold route to the SHARDED STAGED
+    pipeline (models.mul._staged_flagship_sharded): the monolithic trace
+    OOMs the compiler at production sizes (models/mul.py:243-247), so the
+    10^8/10^9-bit multi-chip path -- the north-star configuration -- runs
+    the same multi-program staging as single-chip, each stage program under
+    the mesh.  Returns a callable either way."""
     constrain = make_constrainer(mesh)
+    if driver == "flagship":
+        from mpir_fft_tpu.models.mul import _staged_flagship, flagship_is_staged
+
+        if flagship_is_staged(plan):
+            return _staged_flagship(plan, constrain)
     base = {
         "mfa": mpn_mul_mfa,
         "mfa_trunc": mpn_mul_mfa_trunc,
@@ -118,6 +130,64 @@ def sharded_mul_many_step(mesh: Mesh, bits: int = 1 << 13) -> None:
     out = np.asarray(sharded_mul_many_fn(mesh, plan, "flagship")(da, db))
     for i, (a, b) in enumerate(pairs):
         assert int_from_digits(out[i]) == a * b, f"DP batch row {i} mismatch"
+
+
+def sharded_staged_mul_step(mesh: Mesh, bits: int = 1 << 14) -> None:
+    """One STAGED sharded flagship multiply + squaring on tiny shapes,
+    staging force-enabled, verified bit-exactly -- certifies the sharded
+    path of the multi-program pipeline that serves the production
+    10^8/10^9-bit plans (the single SURVEY row round 2 left partial)."""
+    import mpir_fft_tpu.models.mul as M
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    depth = max(5, 2 * max(1, (ndev - 1).bit_length()))
+    plan = plan_for_depth(bits, bits, depth, sqrt2=True)
+    assert plan.n1 % ndev == 0, (plan.n1, ndev)
+
+    rng = np.random.default_rng(2)
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
+    old = M._STAGED_THRESHOLD_ELEMS
+    M._STAGED_THRESHOLD_ELEMS = 0          # force the staged route
+    M._staged_flagship.cache_clear()
+    try:
+        fn = sharded_mul_fn(mesh, plan, "flagship")
+        got = int_from_digits(np.asarray(fn(da, db)))
+        assert got == a * b, "sharded STAGED flagship multiply mismatch"
+        got_sq = int_from_digits(np.asarray(fn(jnp.asarray(
+            digits_from_int(a, cdiv(bits, DIGIT_BITS))))))
+        assert got_sq == a * a, "sharded STAGED flagship squaring mismatch"
+    finally:
+        M._STAGED_THRESHOLD_ELEMS = old
+        M._staged_flagship.cache_clear()
+
+
+def huge_mul_step(bits: int = 1 << 15) -> None:
+    """One tiny-chunk out-of-core multiply (models/huge.py), chunk sizes
+    forced small so the chunk loops actually iterate, verified bit-exactly.
+    Runs on the default device of whatever platform is active -- under the
+    dryrun's virtual-CPU mesh environment this certifies the out-of-core
+    engine executes in the multi-device runtime (its per-product stream is
+    single-device by design; DP across products is the batch flavor)."""
+    import mpir_fft_tpu.models.huge as H
+
+    depth = 6
+    plan = plan_for_depth(bits, bits, depth, sqrt2=True)
+    assert H.huge_serves(plan), plan
+    rng = np.random.default_rng(3)
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
+    old = H.CHUNK_BYTES, H.PW_CHUNK_BYTES
+    H.CHUNK_BYTES, H.PW_CHUNK_BYTES = 1 << 14, 1 << 13
+    try:
+        got = int_from_digits(np.asarray(H.mul_huge(da, db, plan)))
+        assert got == a * b, "out-of-core multiply mismatch"
+    finally:
+        H.CHUNK_BYTES, H.PW_CHUNK_BYTES = old
 
 
 def sharded_mul_step(mesh: Mesh, bits: int = 1 << 14, driver: str = "mfa") -> None:

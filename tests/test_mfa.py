@@ -189,3 +189,29 @@ def test_stacked_pallas_block_wrap(rng):
     with force_pallas(True):
         out = mpn_mul_flagship(da, db, plan)
     assert int_from_digits(np.asarray(out)) == a * b
+
+
+def test_sharded_staged_flagship_8dev():
+    """The STAGED flagship pipeline under the mesh (the production multi-chip
+    route for 10^8/10^9-bit plans, round-3 top item): staging force-enabled
+    on a tiny plan, split/forward + pointwise-with-row-leg + inverse/combine
+    each a sharded stage program, mul and sqr bit-exact."""
+    from mpir_fft_tpu.parallel.mfa_sharded import sharded_staged_mul_step
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    sharded_staged_mul_step(mesh, bits=1 << 14)
+
+
+def test_sharded_staged_flagship_pallas_kernels():
+    """Same staged sharded pipeline with the Pallas kernels FORCED on
+    (interpret mode): the per-device column/row ladder kernels, the shard_map
+    pointwise's fused Garner carry, and the row-IFFT leg all trace and
+    execute inside the sharded stage programs, bit-exactly."""
+    from mpir_fft_tpu.ops.fused import force_pallas
+    from mpir_fft_tpu.parallel.mfa_sharded import sharded_staged_mul_step
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    with force_pallas(True):
+        sharded_staged_mul_step(mesh, bits=1 << 14)
