@@ -248,9 +248,22 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
     FFT/IFFT_radix2_twiddle (ref mul_fft.c:1406-1419, 1964-2010); callers
     pass it only when the group ends at the transform's last stage (h == 1).
     fwd: s = (a+b) * 2^pe[:,:,0], t = (a-b) * 2^(i*step + pe[:,:,1]).
-    inv: s' = s / 2^pe[:,:,0], t' = t / 2^(i*step + pe[:,:,1])."""
+    inv: s' = s / 2^pe[:,:,0], t' = t / 2^(i*step + pe[:,:,1]).
+
+    Twiddle factorization (Cooley-Tukey): stage j's exponent
+    (qm*h + hpos)*steps[j] splits into a qm-part and an hpos-part, and the
+    hpos-parts of ALL k stages compose to ONE per-output factor
+    z^(hpos * steps[0] * revbin_k(p)) (the same accumulation that makes the
+    reference's FFT_radix2_twiddle leaf twiddles equal a revbin-indexed
+    output twiddle, mul_fft.c:1397-1442).  When that is cheaper -- statically
+    decidable from the barrel-shift level counts -- the kernel runs the k
+    stages with qm-only exponents (gcd h*steps[j], huge: the barrel skips
+    almost all levels) plus one combined full-barrel twiddle pass, instead
+    of k full-barrel passes.  Measured at the 10^9-bit flat shape this
+    halves the transform kernels' twiddle compute (the round-2 residual
+    the static-gcd hint left, TODO:109-122's motif done TPU-style)."""
     from .butterfly import butterfly_fwd, butterfly_inv
-    from .limb import carry_pass
+    from .limb import carry_pass, div_2expmod, shift_mod
     from .transforms import no_auto_fuse
 
     N, K, h, L = xp.shape
@@ -258,6 +271,23 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
     assert K == 1 << k and len(steps) == k
     has_pe = pe is not None
     assert not has_pe or h == 1, "pe is a last-stage (h == 1) table"
+
+    def _lvls(step_gcd: int) -> int:
+        # active barrel levels + bit-shift cost of one shift_mod pass whose
+        # exponents are multiples of step_gcd (mirrors limb.shift_mod's
+        # clamp/start_bit logic)
+        g = 1
+        while step_gcd % (2 * g) == 0 and W % (2 * g) == 0:
+            g *= 2
+        nbits = max(1, (L - 1).bit_length())
+        if g >= 16:
+            return max(0, nbits - (g.bit_length() - 5))
+        return nbits + 1
+    factorize = (
+        h > 1 and not has_pe
+        and sum(_lvls(h * s) for s in steps) + _lvls(steps[0])
+        < sum(_lvls(s) for s in steps)
+    )
 
     Lpad = -(-L // 128) * 128
     R = max(K, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * xp.dtype.itemsize))
@@ -280,23 +310,47 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
 
     order = range(k) if kind == "fwd" else range(k - 1, -1, -1)
 
+    def _group_twiddle(x, inverse: bool):
+        # the composed hpos-part of the group's twiddles:
+        # z^(hpos * steps[0] * revbin_k(p)) on every (p, hpos) element of
+        # the (nb, K, hb, L) block, ONE full-barrel pass (divides if inverse)
+        p = jax.lax.broadcasted_iota(jnp.int32, (1, K, 1, 1), 1)
+        r = jnp.zeros_like(p)
+        for b in range(k):
+            r = r | (((p >> b) & 1) << (k - 1 - b))
+        hpos = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, hb, 1), 2)
+        e = ((hpos * jnp.int32(steps[0])) % jnp.int32(2 * W)) * r
+        g = steps[0] & -steps[0]
+        if inverse:
+            return div_2expmod(x, e % jnp.int32(2 * W), W, gcd=g)
+        return shift_mod(x, e, W, gcd=g)
+
     def kernel(*refs):
         x = refs[0][...]
         pe_blk = refs[1][...] if has_pe else None
         o_ref = refs[-1]
         with no_auto_fuse():
+            if factorize and kind == "inv":
+                x = _group_twiddle(x, inverse=True)
             for j in order:
                 m = K >> (j + 1)
                 xr = x.reshape(nb, K // (2 * m), 2, m, hb, L)
                 a, b = xr[:, :, 0], xr[:, :, 1]
                 qm = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, m, hb, 1), 2)
-                hpos = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
-                    jnp.int32, (1, 1, m, hb, 1), 3)
-                e = (qm * jnp.int32(h) + hpos) * jnp.int32(steps[j])
-                # every e is a multiple of steps[j]: static hint for the
-                # twiddle's barrel shifter (limb.shift_mod gcd)
-                g = steps[j] & -steps[j]
+                if factorize:
+                    # hpos-free stage exponents: gcd h*steps[j], so the
+                    # barrel runs ~log2(m) levels instead of ~log2(L)
+                    e = qm * jnp.int32((h * steps[j]) % (2 * W))
+                    g = (h * steps[j]) & -(h * steps[j])
+                else:
+                    hpos = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, 1, m, hb, 1), 3)
+                    e = (qm * jnp.int32(h) + hpos) * jnp.int32(steps[j])
+                    # every e is a multiple of steps[j]: static hint for the
+                    # twiddle's barrel shifter (limb.shift_mod gcd)
+                    g = steps[j] & -steps[j]
                 pes = pet = None
                 if has_pe and j == k - 1:   # m == 1, hb == 1
                     pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
@@ -311,6 +365,8 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
                                          gcd_t=1 if pet is not None else g,
                                          carry=False)
                 x = jnp.stack([s, t], axis=2).reshape(nb, K, hb, L)
+            if factorize and kind == "fwd":
+                x = _group_twiddle(x, inverse=False)
         # deferred carry: stages above run carry-free (digit magnitude
         # roughly doubles per stage, ~2^(18+k) after k <= LADDER stages,
         # far inside int32); ONE whole-block sweep here restores the
