@@ -263,28 +263,66 @@ def _garner_consts(primes: tuple[int, int, int]) -> dict:
 
 # ---------------------------------------------------------------------------
 # Device: exact int32 modular helpers
+#
+# Reduction discipline (round-3 rewrite): TPU integer division (what
+# jnp.mod lowers to) is the single most expensive VPU op in this file --
+# measured 0.94 ms per whole-chunk pass at [16384, 2048], and the dense
+# pipeline used ~11 of them per prime while its 9 GEMMs cost only 11 ms
+# total.  All reductions now go through one f32-Barrett quotient
+# (q = round-or-floor(v * 1/p); r = v - q*p) with exact conditional
+# fixups, and intermediates stay LOOSE (|r| < 2p) wherever the next
+# consumer tolerates it -- exact representatives are materialized only at
+# plane conversion (centered) and before Garner (nonneg).  Exactness: for
+# |v| <= 2^29 the f32 quotient errs by at most 1 (relative error ~2^-23
+# against v/p >= 2^11 quotient magnitudes), so r lands within +-2p (loose),
+# +-1.5p before the centering fixups, and q*p stays int32.
 # ---------------------------------------------------------------------------
 
+def _red_loose(v: jax.Array, p: int) -> jax.Array:
+    """Same residue class, |result| < 2p.  Valid for |v| <= 2^29 - 2p."""
+    q = jnp.floor(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
+    return v - q * p
+
+
+def _red_center(v: jax.Array, p: int) -> jax.Array:
+    """Exact centered representative in [-p//2, p//2].  |v| <= 2^29."""
+    q = jnp.round(v.astype(jnp.float32) * np.float32(1.0 / p)).astype(jnp.int32)
+    r = v - q * p                                  # within +-1.5p
+    r = r - jnp.where(r > p // 2, p, 0)
+    return r + jnp.where(r < -(p // 2), p, 0)
+
+
+def _red_nonneg(v: jax.Array, p: int) -> jax.Array:
+    """Exact representative in [0, p).  |v| <= 2^29."""
+    r = _red_center(v, p)
+    return r + jnp.where(r < 0, p, 0)
+
+
+_RED = {"loose": _red_loose, "center": _red_center, "nonneg": _red_nonneg}
+
+
 def _modmul_const(a: jax.Array, c: int, p: int) -> jax.Array:
-    """a * c mod p for a in [0, p), p < 2^17.5, constant c in [0, p).
-    Partial products stay below 2^27 (int32-exact): a*ch < p * (p>>8)."""
+    """a * c mod p -> [0, p), for |a| < 2p, p < 2^17.5, constant c in [0, p).
+    Partial products stay int32-exact: |a*ch| < 2p * (p>>8) < 2^28.6."""
     cl, ch = c & 0xFF, c >> 8
-    t = jnp.mod(a * ch, p)
-    return jnp.mod(a * cl + (t << 8), p)
+    t = _red_loose(a * ch, p)
+    return _red_nonneg(a * cl + (t << 8), p)
 
 
-def _modmul(a: jax.Array, b: jax.Array, p: int) -> jax.Array:
-    """a * b mod p, both in [0, p), p < 2^17.5."""
+def _modmul(a: jax.Array, b: jax.Array, p: int, out: str = "nonneg") -> jax.Array:
+    """a * b mod p for |a|, |b| < 2p (signed ok), p < 2^17.5.  out: 'loose'
+    (|r| < 2p, cheapest), 'center', or 'nonneg'.  The byte decomposition
+    b = (b >> 8)*256 + (b & 255) holds for negative b (arithmetic shift);
+    |a * bh| <= 2p * 2p/256 < 2^28.6 int32-exact."""
     bl = b & 0xFF
     bh = b >> 8
-    t = jnp.mod(a * bh, p)
-    return jnp.mod(a * bl + (t << 8), p)
+    t = _red_loose(a * bh, p)
+    return _RED[out](a * bl + (t << 8), p)
 
 
 def _to_planes(x: jax.Array, p: int, k: int) -> jax.Array:
-    """Digits (any int32 magnitude) -> [..., kM] signed-int8 matmul planes."""
-    r = jnp.mod(x, p)
-    rc = jnp.where(r > p // 2, r - p, r)
+    """Digits (any int32 magnitude <= 2^29) -> [..., kM] signed-int8 planes."""
+    rc = _red_center(x, p)
     planes = []
     for _ in range(k - 1):
         lo = ((rc + 128) & 255) - 128
@@ -294,11 +332,13 @@ def _to_planes(x: jax.Array, p: int, k: int) -> jax.Array:
     return jnp.concatenate(planes, axis=-1).astype(jnp.int8)
 
 
-def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int) -> jax.Array:
-    """[..., kM] int8 planes @ [kM, kM] int8 block -> values mod p [..., M].
+def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int,
+                 out: str = "center") -> jax.Array:
+    """[..., kM] int8 planes @ [kM, kM] int8 block -> values mod p [..., M],
+    exact 'center' (default) or 'nonneg' (the pre-Garner application).
     Folds S = [S0|..|S_{k-1}] high-to-low: v = S0 + 256(S1 + 256(S2 ...));
     every intermediate stays int32-exact (|S_j| <= kM*127^2 < 2^28.6, each
-    fold adds (p << 8) < 2^25.5)."""
+    loose fold term adds (2p << 8) < 2^26.4)."""
     S = jax.lax.dot_general(
         planes,
         jnp.asarray(blk),
@@ -306,9 +346,10 @@ def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int) -> jax.Arra
         preferred_element_type=jnp.int32,
     )
     M = S.shape[-1] // k
-    acc = jnp.mod(S[..., (k - 1) * M :], p)
+    acc = _red_loose(S[..., (k - 1) * M :], p)
     for j in range(k - 2, -1, -1):
-        acc = jnp.mod(S[..., j * M : (j + 1) * M] + (acc << 8), p)
+        v = S[..., j * M : (j + 1) * M] + (acc << 8)
+        acc = _red_loose(v, p) if j else _RED[out](v, p)
     return acc
 
 
@@ -329,9 +370,9 @@ def _garner_to_digits(rs, primes) -> jax.Array:
     p1, p2, p3 = primes
     g = _garner_consts(primes)
     v1 = r1
-    v2 = _modmul_const(jnp.mod(r2 - v1, p2), g["inv12"], p2)
-    t = _modmul_const(jnp.mod(r3 - v1, p3), g["inv13"], p3)
-    v3 = _modmul_const(jnp.mod(t - v2, p3), g["inv23"], p3)
+    v2 = _modmul_const(_red_nonneg(r2 - v1, p2), g["inv12"], p2)
+    t = _modmul_const(_red_nonneg(r3 - v1, p3), g["inv13"], p3)
+    v3 = _modmul_const(_red_nonneg(t - v2, p3), g["inv23"], p3)
     v3 = jnp.where(v3 > p3 // 2, v3 - p3, v3)          # centered: |v3| < p3/2
 
     nA = (g["q"].bit_length() + p3.bit_length()) // 8 + 2
@@ -469,7 +510,7 @@ def _mixed_radix(rs, primes):
         t = rs[j]
         pj = primes[j]
         for i in range(len(vs)):
-            t = _modmul_const(jnp.mod(t - vs[i], pj), pow(primes[i], -1, pj), pj)
+            t = _modmul_const(_red_nonneg(t - vs[i], pj), pow(primes[i], -1, pj), pj)
         vs.append(t)
     vs[-1] = jnp.where(vs[-1] > primes[-1] // 2, vs[-1] - primes[-1], vs[-1])
     return vs
@@ -539,8 +580,8 @@ def _pair_mod(d0: jax.Array, d1: jax.Array, p: int) -> jax.Array:
     int32-exact."""
     c16 = (1 << 16) % p
     cl, ch = c16 & 0xFF, c16 >> 8
-    t = jnp.mod(d1 * ch, p)
-    return jnp.mod(d0 + d1 * cl + (t << 8), p)
+    t = _red_loose(d1 * ch, p)
+    return _red_loose(d0 + d1 * cl + (t << 8), p)
 
 
 def pair_supported(M: int) -> bool:
@@ -568,7 +609,8 @@ def _mulmod_ntt_pair(a: jax.Array, b: jax.Array) -> jax.Array:
         fa = _apply_block(_to_planes(_pair_mod(a0, a1, p), p, k), mat["F"], p, k)
         fb = _apply_block(_to_planes(_pair_mod(b0, b1, p), p, k), mat["F"], p, k)
         parts.append(
-            _apply_block(_to_planes(_modmul(fa, fb, p), p, k), mat["G"], p, k)
+            _apply_block(_to_planes(_modmul(fa, fb, p, out="loose"), p, k),
+                         mat["G"], p, k, out="nonneg")
         )
     return carry_pass(_garner_pair_to_digits(parts, PRIMES_PAIR))
 
@@ -588,11 +630,11 @@ def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
     [..., m1, m2] of the psi-weighted (negacyclic) sequence, values in
     [0, p)."""
     p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
-    r = _modmul(jnp.mod(x, p), jnp.asarray(mat["Wt"]), p)
+    r = _modmul(_red_center(x, p), jnp.asarray(mat["Wt"]), p, out="loose")
     a = r.reshape(r.shape[:-1] + (m1, m2))
     a = jnp.swapaxes(a, -1, -2)                              # [.., i2, i1]
     a = _apply_block(_to_planes(a, p, k), mat["F1"], p, k)   # [.., i2, k1]
-    a = _modmul(a, jnp.asarray(mat["T"]), p)
+    a = _modmul(a, jnp.asarray(mat["T"]), p, out="loose")
     a = jnp.swapaxes(a, -1, -2)                              # [.., k1, i2]
     return _apply_block(_to_planes(a, p, k), mat["F2"], p, k)  # [.., k1, k2]
 
@@ -602,7 +644,7 @@ def _ntt4_inv(y: jax.Array, mat: dict) -> jax.Array:
     [..., M] in [0, p) (includes the M^-1 psi^-j unweighting)."""
     p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
     a = _apply_block(_to_planes(y, p, k), mat["G2"], p, k)   # [.., k1, i2]
-    a = _modmul(a, jnp.asarray(mat["Ti"]), p)
+    a = _modmul(a, jnp.asarray(mat["Ti"]), p, out="loose")
     a = jnp.swapaxes(a, -1, -2)                              # [.., i2, k1]
     a = _apply_block(_to_planes(a, p, k), mat["G1"], p, k)   # [.., i2, i1]
     a = jnp.swapaxes(a, -1, -2)                              # [.., i1, i2]
@@ -646,7 +688,8 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
             fa = _apply_block(_to_planes(a, p, k), mat["F"], p, k)
             fb = _apply_block(_to_planes(b, p, k), mat["F"], p, k)
             parts.append(
-                _apply_block(_to_planes(_modmul(fa, fb, p), p, k), mat["G"], p, k)
+                _apply_block(_to_planes(_modmul(fa, fb, p, out="loose"), p, k),
+                         mat["G"], p, k, out="nonneg")
             )
     else:
         # 4-step transforms: O(M^1.5) matmul work, kilobyte-scale matrices
@@ -655,7 +698,7 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
             p = mat["p"]
             fa = _ntt4_fwd(a, mat)
             fb = _ntt4_fwd(b, mat)
-            parts.append(_ntt4_inv(_modmul(fa, fb, p), mat))
+            parts.append(_ntt4_inv(_modmul(fa, fb, p, out="loose"), mat))
     primes = tuple(mat["p"] for mat in mats)
     d = _garner_carry(parts, primes)
     return normmod(d) if canonical else d
