@@ -143,10 +143,24 @@ def fft_combine_bits(c, bits: int, Lout: int):
         nseg = -(-L // d)
         lead = c.shape[:-2]
         rows = C + nseg
-        out = jnp.zeros(lead + (rows, d), c.dtype)
+        # one fused SUM of row-shifted terms, not a chain of .at[].add
+        # updates: the updates serialize as read-modify-writes of the whole
+        # ~0.5 GB grid (3x its traffic at the 10^9-bit shape); the sum is a
+        # single pass reading each c column window once (digit bound
+        # nseg * 2^16 <= 2^18, inside canonicalize_plain's domain)
+        terms = []
         for s in range(nseg):
             w = min(d, L - s * d)
-            out = out.at[..., s : C + s, :w].add(c[..., s * d : s * d + w])
+            seg = c[..., s * d : s * d + w]
+            if w < d:
+                seg = jnp.concatenate(
+                    [seg, jnp.zeros(lead + (C, d - w), c.dtype)], axis=-1)
+            terms.append(jnp.concatenate([
+                jnp.zeros(lead + (s, d), c.dtype), seg,
+                jnp.zeros(lead + (nseg - s, d), c.dtype)], axis=-2))
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
         flat = out.reshape(lead + (rows * d,))
         if rows * d < Lout:
             flat = jnp.concatenate(
