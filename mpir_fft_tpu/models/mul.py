@@ -407,12 +407,14 @@ def _staged_flagship(plan: MulPlan, ctx=None):
     @functools.partial(jax.jit, donate_argnums=0)
     def tf_prog(ia):
         if zerotop:
-            from mpir_fft_tpu.ops.sqrt2 import _top_exps, twiddle_half
             from mpir_fft_tpu.ops.transforms import fft_radix2
 
-            tt = twiddle_half(ia, _top_exps(h, plan.w), W)
+            # the t-leg's half-bit twiddle (t_j = a_j * q^j) rides the first
+            # ladder group of its transform (fused pre_half) -- no separate
+            # twiddle pass, no tt temp materialization
             return jnp.concatenate(
-                [fft_radix2(ia, plan.w, W), fft_radix2(tt, plan.w, W)],
+                [fft_radix2(ia, plan.w, W),
+                 fft_radix2(ia, plan.w, W, pre_half=(0, plan.w))],
                 axis=-2)
         return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t)[..., :t, :]
 
@@ -472,7 +474,15 @@ def _staged_flagship(plan: MulPlan, ctx=None):
     def combine(c):
         return fft_combine_bits(c, plan.bits1, out_len_digits(plan))
 
-    rows = max(256, _PW_CHUNK_BYTES // (4 * ring.L))
+    from mpir_fft_tpu.ops.pointwise import base_serves
+
+    # NTT-served rings keep small bounded temps (planes + GEMM outputs,
+    # ~6x the chunk); only the self-recursive mulmod needs the conservative
+    # bound (its split/transform temps run ~40x the row bytes).  Bigger
+    # chunks halve the dispatch count at the 10^9-bit shape (~1-5 ms each
+    # on the tunneled device).
+    pw_bytes = _PW_CHUNK_BYTES * (2 if base_serves(ring.L) else 1)
+    rows = max(256, pw_bytes // (4 * ring.L))
     rows = min(rows, t)
     rows = max(n1, (rows // n1) * n1)   # row-IFFT groups must stay whole
 

@@ -226,7 +226,8 @@ def maybe_fused(fn, x):
     return fn(x)
 
 
-def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
+def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
+                           pre_half=None):
     """k = len(steps) consecutive FFT stages' butterflies in ONE kernel pass
     (the classic multi-stage ladder): a VMEM block spanning K = 2^k tree
     positions stays resident through all k stages, so the coefficient matrix
@@ -249,6 +250,13 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
     pass it only when the group ends at the transform's last stage (h == 1).
     fwd: s = (a+b) * 2^pe[:,:,0], t = (a-b) * 2^(i*step + pe[:,:,1]).
     inv: s' = s / 2^pe[:,:,0], t' = t / 2^(i*step + pe[:,:,1]).
+
+    pre_half: optional (e0, step2) half-bit twiddle x[j] *= 2^((e0 +
+    j*step2)/2) applied to the block BEFORE the first stage (fwd only,
+    j = absolute transform position q*h + hpos) -- the sqrt2 top layer's
+    t-leg twiddle (ref mul_fft.c:591-634) rides the first ladder group's
+    HBM round trip instead of costing its own pass + temp materialization
+    (the zero-top staged forward's twiddle_half).
 
     Twiddle factorization (Cooley-Tukey): stage j's exponent
     (qm*h + hpos)*steps[j] splits into a qm-part and an hpos-part, and the
@@ -326,11 +334,20 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None):
             return div_2expmod(x, e % jnp.int32(2 * W), W, gcd=g)
         return shift_mod(x, e, W, gcd=g)
 
+    assert pre_half is None or kind == "fwd"
+
     def kernel(*refs):
         x = refs[0][...]
         pe_blk = refs[1][...] if has_pe else None
         o_ref = refs[-1]
         with no_auto_fuse():
+            if pre_half is not None:
+                e0, st2 = pre_half
+                jq = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, K, hb, 1), 1) * jnp.int32(h)
+                hp = pl.program_id(1) * hb + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, K, hb, 1), 2)
+                x = _twiddle_half_rows(x, jq + hp, st2, W, extra2=e0)
             if factorize and kind == "inv":
                 x = _group_twiddle(x, inverse=True)
             for j in order:
@@ -454,15 +471,8 @@ def fused_twiddle_half(x, e0: int, step: int, W: int, h: int):
         xb = x_ref[...]
         start = pl.program_id(0) * rb
         j = (start + jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)) % h
-        e2 = (jnp.int32(e0) + j * jnp.int32(step)) % jnp.int32(4 * W)
-        k = e2 >> 1
-        odd = e2 & 1
         with no_auto_fuse():
-            plain = shift_mod(xb, k % (2 * W), W)
-            hi = shift_mod(xb, (k + 3 * W // 4) % (2 * W), W)
-            lo = shift_mod(xb, (k + W // 4) % (2 * W), W)
-            root2 = carry_pass(hi - lo)
-        o_ref[...] = jnp.where(odd == 1, root2, plain)
+            o_ref[...] = _twiddle_half_rows(xb, j, step, W, extra2=e0)
 
     out = pl.pallas_call(
         kernel,
@@ -595,17 +605,27 @@ def fused_canonicalize_plain(x):
 
 def _twiddle_half_rows(x, j, w: int, W: int, extra2: int = 0):
     """Kernel-body helper: x[r] * 2^((j[r] * w + extra2) / 2) mod p for a
-    per-row index column j [rb, 1] (half-bit exponents; the sqrt2 machinery
-    of ops/sqrt2.twiddle_half expressed on VMEM row blocks)."""
-    from .limb import carry_pass, shift_mod
+    per-row index column j (broadcastable to x[..., :1]; half-bit exponents,
+    the sqrt2 machinery of ops/sqrt2.twiddle_half on VMEM row blocks).
 
+    One barrel shift, not three: 2^(k + 3W/4) = 2^k * 2^(3W/4) and the
+    3W/4 / W/4 offsets are STATIC digit rotations of the shared 2^k value
+    (3x less twiddle compute, and few enough live temps that the pre_half
+    fusion fits Mosaic's 16M scoped-vmem stack at L = 2048)."""
+    from .limb import carry_pass, shift_digits_static, shift_mod
+
+    L = x.shape[-1]
     e2 = (j * jnp.int32(w) + jnp.int32(extra2)) % jnp.int32(4 * W)
     k = e2 >> 1
     odd = e2 & 1
-    plain = shift_mod(x, k % (2 * W), W)
-    hi = shift_mod(x, (k + 3 * W // 4) % (2 * W), W)
-    lo = shift_mod(x, (k + W // 4) % (2 * W), W)
-    return jnp.where(odd == 1, carry_pass(hi - lo), plain)
+    base = shift_mod(x, k % (2 * W), W)
+    if L % 4 == 0:
+        hi = shift_digits_static(base, (3 * L) // 4)
+        lo = shift_digits_static(base, L // 4)
+    else:   # sub-digit W/4 offset: tiny rings only
+        hi = shift_mod(x, (k + 3 * W // 4) % (2 * W), W)
+        lo = shift_mod(x, (k + W // 4) % (2 * W), W)
+    return jnp.where(odd == 1, carry_pass(hi - lo), base)
 
 
 def fused_sqrt2_top_fwd(a, b, w: int, W: int):

@@ -66,9 +66,20 @@ def twiddle_half(x, e2, W: int):
     if not odd.any():
         return shift_mod(x, _as_col(k % (2 * W)), W)
 
+    L = x.shape[-1]
+
     def sqrt2_shift(xs, ks):
-        hi = shift_mod(xs, _as_col((ks + 3 * W // 4) % (2 * W)), W)
-        lo = shift_mod(xs, _as_col((ks + W // 4) % (2 * W)), W)
+        # one barrel shift: the +-W/4 offsets are STATIC digit rotations of
+        # the shared 2^ks value (2^(ks+3W/4) = roll(2^ks, 3L/4 digits))
+        base = shift_mod(xs, _as_col(ks % (2 * W)), W)
+        if L % 4 == 0:
+            from .limb import shift_digits_static
+
+            hi = shift_digits_static(base, (3 * L) // 4)
+            lo = shift_digits_static(base, L // 4)
+        else:
+            hi = shift_mod(xs, _as_col((ks + 3 * W // 4) % (2 * W)), W)
+            lo = shift_mod(xs, _as_col((ks + W // 4) % (2 * W)), W)
         return carry_pass(hi - lo)
 
     if odd.all():

@@ -103,16 +103,29 @@ def revbin_iota(C: int) -> jax.Array:
     return r
 
 
-def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
+def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None,
+               pre_half: tuple[int, int] | None = None):
     """Forward DIF FFT of length C = x.shape[-2] over root z = 2^w.
 
     Output in revbin order: out[j] = X(z^revbin(j)).  With `post_exps` (static
     int vector of length C), output position j is additionally multiplied by
-    2^post_exps[j] -- fused into the final stage (ref FFT_radix2_twiddle)."""
+    2^post_exps[j] -- fused into the final stage (ref FFT_radix2_twiddle).
+
+    pre_half = (e0, step2): input position j is first multiplied by
+    2^((e0 + j*step2)/2) (half-bit exponents) -- on the ladder-kernel path
+    this rides the first group's HBM round trip (the sqrt2 top-layer t-leg,
+    ref mul_fft.c:591-634); elsewhere it falls back to a separate
+    twiddle_half pass, same values."""
     C = x.shape[-2]
     D = C.bit_length() - 1
     assert C == 1 << D
-    if post_exps is None and D > 0 and _auto_fusable(x):
+    if pre_half is not None and (D == 0 or not _stage_fusable(x)):
+        from .sqrt2 import twiddle_half
+
+        e0, st2 = pre_half
+        x = twiddle_half(x, e0 + np.arange(C, dtype=np.int64) * st2, W)
+        pre_half = None
+    if post_exps is None and pre_half is None and D > 0 and _auto_fusable(x):
         from .fused import fused_batched
 
         flat = x.reshape((-1,) + x.shape[-2:])
@@ -146,7 +159,8 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None):
                 pe = jnp.broadcast_to(
                     pe, lead + (1 << l, K // 2, 2)).reshape(-1, K // 2, 2)
             x = fused_butterfly_ladder(
-                "fwd", x.reshape((-1, K, hk, L)), steps, W, pe
+                "fwd", x.reshape((-1, K, hk, L)), steps, W, pe,
+                pre_half=pre_half if l == 0 else None,
             ).reshape(lead + (C, L))
             l += kg
         return x

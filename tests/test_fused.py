@@ -143,3 +143,28 @@ def test_fused_twiddle_half_matches_plain(rng):
         with force_pallas(True):
             got = np.asarray(normmod(twiddle_half(jnp.asarray(x), e2, W)))
         assert np.array_equal(want, got), (h, e2[:2])
+
+
+def test_ladder_pre_half_matches_separate_twiddle(rng):
+    """fft_radix2(pre_half=(e0, step)) == fft_radix2(twiddle_half(x)) in ring
+    values, on the ladder path (forced) and the fallback path -- the fused
+    sqrt2 top-layer t-leg of the zero-top staged forward."""
+    from mpir_fft_tpu.ops.sqrt2 import twiddle_half
+    from mpir_fft_tpu.ops.transforms import fft_radix2
+
+    W = 16 * 32                    # L = 32
+    C, w = 64, 2 * W // (2 * 64)
+    x = _rand(rng, (2, C, 32))
+    e2 = np.arange(C, dtype=np.int64) * w
+    want = fft_radix2(twiddle_half(jnp.asarray(x), e2, W), w, W)
+    old = fused.MAX_FUSED_L
+    fused.MAX_FUSED_L = 16         # force the ladder path
+    try:
+        with force_pallas(True):
+            got = fft_radix2(jnp.asarray(x), w, W, pre_half=(0, w))
+    finally:
+        fused.MAX_FUSED_L = old
+    _eq_mod(want, got, W)
+    # fallback (non-ladder) path takes the separate twiddle_half route
+    got2 = fft_radix2(jnp.asarray(x), w, W, pre_half=(0, w))
+    _eq_mod(want, got2, W)
