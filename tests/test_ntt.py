@@ -141,3 +141,36 @@ def test_mulmod_ntt_fused_ab_path(rng, monkeypatch):
     with fused.force_pallas(True):
         got = np.asarray(mulmod_ntt(jnp.asarray(a), jnp.asarray(b), canonical=True))
     np.testing.assert_array_equal(got, want)
+
+
+def test_barrett_reductions_extreme(rng):
+    """The f32-Barrett reduction helpers (ntt._red_loose/_center/_nonneg)
+    must be exact across their full |v| <= 2^29 domain for every prime of
+    every tier, including the boundary values where the f32 quotient error
+    is largest.  These carry the NTT pointwise's exactness (round-3 lazy
+    reduction rewrite)."""
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu.ops.ntt import (PRIMES, PRIMES_PAIR, PRIMES_T2,
+                                      _red_center, _red_loose, _red_nonneg)
+
+    B = 1 << 29
+    edges = np.array([0, 1, -1, B, -B, B - 1, -(B - 1)], dtype=np.int64)
+    rand = rng.integers(-B, B + 1, 4000, dtype=np.int64)
+    for p in sorted(set(PRIMES + PRIMES_T2 + PRIMES_PAIR)):
+        near = np.concatenate([
+            np.arange(-3, 4, dtype=np.int64) + k * p
+            for k in (-B // p, -1, 0, 1, B // p)
+        ])
+        v = np.concatenate([edges, near, rand])
+        v = v[np.abs(v) <= B].astype(np.int32)
+        x = jnp.asarray(v)
+        lo = np.asarray(_red_loose(x, p)).astype(np.int64)
+        ce = np.asarray(_red_center(x, p)).astype(np.int64)
+        nn = np.asarray(_red_nonneg(x, p)).astype(np.int64)
+        v64 = v.astype(np.int64)
+        assert ((lo - v64) % p == 0).all() and (np.abs(lo) < 2 * p).all(), p
+        assert ((ce - v64) % p == 0).all(), p
+        assert (ce >= -(p // 2)).all() and (ce <= p // 2).all(), p
+        assert ((nn - v64) % p == 0).all(), p
+        assert (nn >= 0).all() and (nn < p).all(), p
