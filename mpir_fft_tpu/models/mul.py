@@ -635,6 +635,41 @@ def mul_many(pairs, driver: str = "flagship") -> list[int]:
     return [int_from_digits(row) for row in out]
 
 
+def _piecewise_serves(plan: MulPlan) -> bool:
+    """Is this a plan the int-level block decomposition below must take?
+    True when the plan is past the out-of-core threshold, the out-of-core
+    engine cannot serve it, and the cause is operand IMBALANCE (j > conv/2)
+    -- the one huge_serves constraint an extreme-uneven product hits."""
+    from mpir_fft_tpu.models.huge import huge_serves
+
+    h = plan.conv_len // 2
+    return (
+        plan.conv_len * (plan.W // DIGIT_BITS) > _HUGE_THRESHOLD_ELEMS
+        and not huge_serves(plan)
+        and (plan.j1 > h or plan.j2 > h)
+    )
+
+
+def _mul_piecewise(a: int, b: int, driver: str) -> int:
+    """Extreme-uneven huge products as balanced blocks: split the larger
+    operand into pieces the size of the smaller (classic long-multiplication
+    blocking), multiply each balanced piece through the full pipeline, and
+    accumulate shifted on the host (O(n) big-int adds).  This serves the
+    plans _require_huge_servable would otherwise reject -- the reference
+    segfaults on the analogous mis-sizing (mul_fft.c:3186-3188)."""
+    ba, bb = a.bit_length(), b.bit_length()
+    if ba < bb:
+        a, b, ba, bb = b, a, bb, ba
+    step = bb
+    mask = (1 << step) - 1
+    total = 0
+    for lo in range(0, ba, step):
+        piece = (a >> lo) & mask
+        if piece:
+            total += mul(piece, b, driver) << lo
+    return total
+
+
 def mul(a: int, b: int, driver: str = "flagship") -> int:
     """Multiply two nonnegative Python ints via the TPU FFT pipeline.
 
@@ -648,6 +683,8 @@ def mul(a: int, b: int, driver: str = "flagship") -> int:
     if ba + bb <= _SMALL_THRESHOLD_BITS:
         return a * b
     plan = _select_plan(ba, bb, driver)
+    if driver == "flagship" and _piecewise_serves(plan):
+        return _mul_piecewise(a, b, driver)
     La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)
     da = jnp.asarray(digits_from_int(a, La))
     db = jnp.asarray(digits_from_int(b, Lb))

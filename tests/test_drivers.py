@@ -246,3 +246,22 @@ def test_tune_cache_changes_production_plan(rng, tmp_path, monkeypatch):
 
     monkeypatch.setenv("MPIR_FFT_TUNE", "0")
     assert M._select_plan(bits, bits, "flagship").depth == analytic.depth
+
+
+def test_unbalanced_huge_routes_piecewise(rng, monkeypatch):
+    """mul() serves extreme-uneven products past the out-of-core threshold
+    by balanced block decomposition (_mul_piecewise) instead of raising --
+    the int-level long-multiplication blocking over the full pipeline."""
+    import mpir_fft_tpu.models.mul as M
+
+    a, b = rand_int(rng, 20000), rand_int(rng, 9000)   # pieces 9000x9000:
+    # above the host-fallback threshold, so blocks really run on-device
+    plan = choose_params(20000, 9000, sqrt2=True)
+    elems = plan.conv_len * (plan.W // 16)
+    monkeypatch.setattr(M, "_HUGE_THRESHOLD_ELEMS", elems - 1)
+    M._jitted_driver.cache_clear()
+    try:
+        assert M._piecewise_serves(plan)
+        assert M.mul(a, b) == a * b
+    finally:
+        M._jitted_driver.cache_clear()
