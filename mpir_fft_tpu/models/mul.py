@@ -480,7 +480,7 @@ def _staged_flagship(plan: MulPlan, ctx=None):
     # ~6x the chunk); only the self-recursive mulmod needs the conservative
     # bound (its split/transform temps run ~40x the row bytes).  Bigger
     # chunks halve the dispatch count at the 10^9-bit shape (~1-5 ms each
-    # on the tunneled device).
+    # on the tunneled device; x4 measured no further gain).
     pw_bytes = _PW_CHUNK_BYTES * (2 if base_serves(ring.L) else 1)
     rows = max(256, pw_bytes // (4 * ring.L))
     rows = min(rows, t)
