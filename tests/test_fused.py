@@ -75,6 +75,34 @@ def test_stage_fused_twiddle_matches_plain(rng):
         fused.MAX_FUSED_L = old
 
 
+def test_ladder_factorized_group_twiddle_matches_plain(rng):
+    """The ladder kernels' Cooley-Tukey twiddle factorization (hpos-free
+    stage exponents + ONE composed z^(hpos*step0*revbin(p)) group pass,
+    fused.fused_butterfly_ladder `factorize`) is bit-identical to the plain
+    XLA path.  The production 10^8/10^9-bit flat plans run this branch in
+    every ladder group with h > 1 (the h == 1 shapes of the tests above can
+    never activate it), so it needs its own pin: C = 256 with L = 64 puts
+    h = 8 in the first group and the level-count heuristic chooses
+    factorization there (verified statically against fused._lvls)."""
+    old = fused.MAX_FUSED_L
+    fused.MAX_FUSED_L = 16
+    try:
+        C, L = 256, 64
+        W = 16 * L            # 1024 bits
+        w = 2 * W // (2 * C)  # = 4: first-group steps 4..64, all sub-digit
+        x = _rand(rng, (2, C, L))
+        plain = fft_radix2(jnp.asarray(x), w, W)
+        with force_pallas(True):
+            fast = fft_radix2(jnp.asarray(x), w, W)
+        _eq_mod(plain, fast, W)
+        plain_i = ifft_radix2(plain, w, W)
+        with force_pallas(True):
+            fast_i = ifft_radix2(plain, w, W)
+        _eq_mod(plain_i, fast_i, W)
+    finally:
+        fused.MAX_FUSED_L = old
+
+
 def test_whole_fused_transform_matches_plain(rng):
     # L <= MAX_FUSED_L: the whole-transform kernel path
     C, W = 8, 16 * 8
