@@ -8,6 +8,7 @@ jax stack loads on first use):
   mul_many(pairs)    k products in one device program (throughput mode)
   mulmod(x, y, N)    product mod 2^N + 1 over ring-element digit arrays
                      (ref fft_mulmod_2expp1, mul_fft.c:3125-3167)
+  mulmod_int(a,b,N)  product mod 2^N + 1 of Python ints (auto plan)
   choose_params      the plan selector (depth / w / truncation / sqrt2)
 
 The reference's entry points map as: new_mpn_mul..mul6 -> models.mul.DRIVERS
@@ -26,6 +27,7 @@ _LAZY = {
     "mul_many": ("mpir_fft_tpu.models.mul", "mul_many"),
     "DRIVERS": ("mpir_fft_tpu.models.mul", "DRIVERS"),
     "mulmod": ("mpir_fft_tpu.ops.mulmod", "mulmod"),
+    "mulmod_int": ("mpir_fft_tpu.ops.mulmod", "mulmod_int"),
     "choose_params": ("mpir_fft_tpu.utils.params", "choose_params"),
     "plan_for_depth": ("mpir_fft_tpu.utils.params", "plan_for_depth"),
 }

@@ -7,6 +7,7 @@ a real runtime-configurable tool instead of compile-time #if TEST/TIME
 switches (mul_fft.c:31-32):
 
   python -m mpir_fft_tpu.cli mul a.bin b.bin out.bin [--driver flagship]
+  python -m mpir_fft_tpu.cli mulmod a.bin b.bin out.bin --nbits 1048576
   python -m mpir_fft_tpu.cli bench --bits 10000000 [--driver flagship]
   python -m mpir_fft_tpu.cli selftest [--bits 200000]
   python -m mpir_fft_tpu.cli baseline --bits 10000000   (GMP mpn_mul timing)
@@ -55,6 +56,27 @@ def cmd_mul(args) -> int:
         f.write(buf)
     print(json.dumps({"bits_a": bits_a, "bits_b": bits_b, "driver": args.driver,
                       "seconds": round(dt, 6), "out_bytes": len(buf)}))
+    return 0
+
+
+def cmd_mulmod(args) -> int:
+    """Fermat-ring product mod 2^N+1 of two binary integer files (ref
+    fft_mulmod_2expp1 as a first-class API, mul_fft.c:3125-3167)."""
+    from mpir_fft_tpu.ops.mulmod import mulmod_int
+
+    def _load_int(path):
+        with open(path, "rb") as f:
+            return int.from_bytes(f.read(), "little")
+
+    a, b, N = _load_int(args.a), _load_int(args.b), args.nbits
+    t0 = time.perf_counter()
+    r = mulmod_int(a, b, N)
+    dt = time.perf_counter() - t0
+    nbytes = (N + 8) // 8 + 1   # residues reach 2^N
+    with open(args.out, "wb") as f:
+        f.write(r.to_bytes(nbytes, "little"))
+    print(json.dumps({"nbits": N, "seconds": round(dt, 6),
+                      "out_bytes": nbytes}))
     return 0
 
 
@@ -146,6 +168,13 @@ def main(argv=None) -> int:
     m.add_argument("a"), m.add_argument("b"), m.add_argument("out")
     m.add_argument("--driver", default="flagship")
     m.set_defaults(fn=cmd_mul)
+
+    mm = sub.add_parser(
+        "mulmod", help="multiply two binary integer files mod 2^N + 1")
+    mm.add_argument("a"), mm.add_argument("b"), mm.add_argument("out")
+    mm.add_argument("--nbits", type=int, required=True,
+                    help="ring width N (p = 2^N + 1)")
+    mm.set_defaults(fn=cmd_mulmod)
 
     b = sub.add_parser("bench", help="time the multiply on the attached device")
     b.add_argument("--bits", type=int, default=10_000_000)

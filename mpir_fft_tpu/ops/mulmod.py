@@ -32,9 +32,10 @@ import math
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
-from .limb import DIGIT_BITS, normmod, shift_mod
+from .limb import DIGIT_BITS, digits_from_int, int_from_digits, normmod, shift_mod
 from .negacyclic import fft_negacyclic, ifft_negacyclic, negacyclic_scale
 from .pointwise import base_serves, mulmod_base
 from .split import fft_combine_bits, fft_split_bits
@@ -237,3 +238,46 @@ def mulmod(x, y, N: int, depth: int | None = None, canonical: bool = False):
     if plan is None:
         return mulmod_base(x, y, canonical=canonical)
     return mulmod_fft(x, y, plan)   # always canonical
+
+
+# ---------------------------------------------------------------------------
+# Integer-level entry: the package-boundary twin of models.mul.mul for the
+# Fermat ring (ref fft_mulmod_2expp1 is a first-class API, mul_fft.c:3125-3167)
+# ---------------------------------------------------------------------------
+
+# below this ring width the host big-int product beats a device dispatch
+# (same crossover role as models.mul._SMALL_THRESHOLD_BITS and the
+# reference's limbs < 250 delegation, mul_fft.c:3135-3139)
+_MULMOD_INT_SMALL_BITS = 1 << 14
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_mulmod(N: int, depth: int | None):
+    return jax.jit(
+        functools.partial(mulmod, N=N, depth=depth, canonical=True)
+    )
+
+
+def mulmod_int(a: int, b: int, N: int, depth: int | None = None) -> int:
+    """(a * b) mod (2^N + 1) for Python ints -- the user-level Fermat-ring
+    product (ref fft_mulmod_2expp1, mul_fft.c:3125-3167, whose integer-level
+    role the digit-array mulmod() above does not expose).
+
+    Any integers (including negative) are accepted and reduced mod p first;
+    the result is the canonical residue in [0, 2^N].  N below the device
+    crossover, or not a multiple of DIGIT_BITS (the reference requires
+    wn % 64 == 0, mul_fft.c:775), computes on the host."""
+    if N < 1:
+        raise ValueError("N must be positive")
+    p = (1 << N) + 1
+    a %= p
+    b %= p
+    if a == 0 or b == 0:
+        return 0
+    if N % DIGIT_BITS or N <= _MULMOD_INT_SMALL_BITS:
+        return (a * b) % p
+    L = N // DIGIT_BITS
+    da = jnp.asarray(digits_from_int(a if a < (1 << N) else -1, L))
+    db = jnp.asarray(digits_from_int(b if b < (1 << N) else -1, L))
+    out = _jitted_mulmod(N, depth)(da, db)
+    return int_from_digits(np.asarray(out)) % p

@@ -140,6 +140,30 @@ def test_mulmod_ntt_off_wide_ring(rng, monkeypatch):
     assert got == oracle.canon(a * b, N)
 
 
+def test_mulmod_int_entry(rng):
+    """The integer-level package-boundary entry (ref fft_mulmod_2expp1 as a
+    first-class API, mul_fft.c:3125-3167): ints in, canonical residue out,
+    automatic plan, host fallback below the crossover / at unaligned N."""
+    from mpir_fft_tpu import mulmod_int
+
+    # device path (N > _MULMOD_INT_SMALL_BITS, digit-aligned)
+    for N in (32768, 65536):
+        p = (1 << N) + 1
+        for _ in range(3):
+            a, b = _rand_residue(rng, N), _rand_residue(rng, N)
+            assert mulmod_int(a, b, N) == (a * b) % p, N
+        # edge residues: 2^N == -1, p-1 interplay, negatives reduce first
+        assert mulmod_int(1 << N, 1 << N, N) == 1
+        assert mulmod_int(-1, 1 << N, N) == 1
+        assert mulmod_int(p + 2, 3, N) == 6
+        assert mulmod_int(0, 5, N) == 0
+    # host fallbacks: small N, unaligned N
+    for N in (100, 16384, 12345):
+        p = (1 << N) + 1
+        a, b = _rand_residue(rng, max(N, 64) // 64 * 64), 12345678901234567
+        assert mulmod_int(a, b, N) == (a % p) * (b % p) % p, N
+
+
 def test_mulmod_batched(rng):
     """One mulmod call over a batch == per-element products."""
     N = 4096
