@@ -54,6 +54,13 @@ STAGE_FUDGE = 14
 # group (butterfly carry=False) is what freed the VMEM for 5.
 LADDER = 5
 
+# diagnostic: ladder calls that took the twiddle-factorize branch since
+# import.  Tests pin that their shapes actually exercise the branch (the
+# _lvls heuristic could silently stop choosing it if LADDER or the level
+# model changes, degrading a factorization test to re-covering the plain
+# path; ADVICE r3).
+_FACTORIZED_CALLS = 0
+
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
     Lpad = -(-L // 128) * 128
@@ -296,6 +303,9 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
         and sum(_lvls(h * s) for s in steps) + _lvls(steps[0])
         < sum(_lvls(s) for s in steps)
     )
+    if factorize:
+        global _FACTORIZED_CALLS
+        _FACTORIZED_CALLS += 1
 
     Lpad = -(-L // 128) * 128
     R = max(K, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * xp.dtype.itemsize))

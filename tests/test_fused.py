@@ -92,12 +92,18 @@ def test_ladder_factorized_group_twiddle_matches_plain(rng):
         w = 2 * W // (2 * C)  # = 4: first-group steps 4..64, all sub-digit
         x = _rand(rng, (2, C, L))
         plain = fft_radix2(jnp.asarray(x), w, W)
+        before = fused._FACTORIZED_CALLS
         with force_pallas(True):
             fast = fft_radix2(jnp.asarray(x), w, W)
+        # the pin is only real if the heuristic actually chose the
+        # factorize branch for this shape (ADVICE r3)
+        assert fused._FACTORIZED_CALLS > before
         _eq_mod(plain, fast, W)
         plain_i = ifft_radix2(plain, w, W)
+        before = fused._FACTORIZED_CALLS
         with force_pallas(True):
             fast_i = ifft_radix2(plain, w, W)
+        assert fused._FACTORIZED_CALLS > before
         _eq_mod(plain_i, fast_i, W)
     finally:
         fused.MAX_FUSED_L = old
