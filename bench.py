@@ -20,8 +20,15 @@ multiply to really execute before the clock stops.
 
 Usage: bench.py [bits] [reps] [driver] [depth]
        bench.py batch <bits> <k> [reps] [driver]     (throughput mode)
+       bench.py sqr <bits> [reps]                    (squaring mode)
+       bench.py floor <bits> [reps]                  (dispatch-floor probe)
 (depth forces plan_for_depth at that depth for A/B plan comparisons;
 env BENCH_SIZES="1e6,1e7" overrides the no-arg sweep)
+
+Plan selection matches production: models.mul._select_plan (a measured
+.tune_cache.json entry wins over the analytic model when present); each
+result records plan_source so artifacts say whether the number is tuned
+or analytic.
 """
 
 from __future__ import annotations
@@ -106,11 +113,34 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _production_plan(bits_a, bits_b, driver, depth=None):
+    """The plan production mul() would pick for this size (tuning cache
+    first, analytic fallback -- models.mul._select_plan), plus where it
+    came from.  depth forces plan_for_depth (the A/B mode)."""
+    from mpir_fft_tpu.models.mul import DRIVERS, _select_plan, _tune_enabled
+    from mpir_fft_tpu.utils.params import plan_for_depth
+
+    sqrt2 = DRIVERS[driver][1]
+    if depth is not None:
+        return plan_for_depth(bits_a, bits_b, depth, sqrt2=sqrt2), "forced_depth"
+    plan = _select_plan(bits_a, bits_b, driver)
+    source = "analytic"
+    if _tune_enabled():
+        from mpir_fft_tpu.utils.tune import cached_plan
+
+        if cached_plan(bits_a, bits_b, driver) == plan:
+            source = "tuned"
+    return plan, source
+
+
 def bench_one(bits, reps=None, driver="flagship", depth=None):
     # default reps amortize the tunnel's ~1-5 ms/dispatch overhead (measured:
-    # a trivial chained program costs 4.6 ms/rep at 8 reps, 1.1 ms at 32)
+    # a trivial chained program costs 4.6 ms/rep at 8 reps, 1.1 ms at 32).
+    # Floor of 4 up to the in-HBM headline size: a 2-rep headline carries no
+    # variance information (VERDICT r3); only the multi-minute out-of-core
+    # sizes may drop to 2
     if reps is None:
-        reps = max(2, min(64, (3 << 28) // bits))
+        reps = max(4 if bits <= 1_000_000_000 else 2, min(64, (3 << 28) // bits))
 
     from mpir_fft_tpu.utils.cache import enable_compile_cache
 
@@ -121,18 +151,14 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
 
     from mpir_fft_tpu import native
     from mpir_fft_tpu.models import mul as mulmod
-    from mpir_fft_tpu.models.mul import DRIVERS
     from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
-    from mpir_fft_tpu.utils.params import cdiv, choose_params, plan_for_depth
+    from mpir_fft_tpu.utils.params import cdiv
 
     rng = np.random.default_rng(0)
     a = rand_bits(rng, bits)
     b = rand_bits(rng, bits)
 
-    if depth is not None:
-        plan = plan_for_depth(bits, bits, depth, sqrt2=DRIVERS[driver][1])
-    else:
-        plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
+    plan, plan_source = _production_plan(bits, bits, driver, depth)
     L = cdiv(bits, DIGIT_BITS)
     da = jnp.asarray(digits_from_int(a, L))
     db = jnp.asarray(digits_from_int(b, L))
@@ -209,9 +235,155 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
         "baseline": base_info,
         "driver": driver,
         "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
+        "plan_source": plan_source,
         "device": str(jax.devices()[0]),
         "reps": reps,
         "sink": sink % 1000,
+    }
+
+
+def bench_sqr(bits, reps=None):
+    """Squaring mode: times models.mul's one-transform sqr pipeline and
+    reports its speedup over the same-size mul (the ~1/3 transform saving
+    the build adds beyond the reference, which always transforms both
+    operands, mul_fft.c:3615-3624) and over GMP mpn_mul."""
+    if reps is None:
+        reps = max(4 if bits <= 1_000_000_000 else 2, min(64, (3 << 28) // bits))
+
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu import native
+    from mpir_fft_tpu.models import mul as mulmod
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
+    from mpir_fft_tpu.utils.params import cdiv
+
+    rng = np.random.default_rng(0)
+    a = rand_bits(rng, bits)
+    plan, plan_source = _production_plan(bits, bits, "flagship")
+    L = cdiv(bits, DIGIT_BITS)
+    da = jnp.asarray(digits_from_int(a, L))
+    sq = mulmod._jitted_sqr(plan)
+    mul_fn = mulmod._jitted_driver("flagship", plan)
+
+    from mpir_fft_tpu.models.mul import flagship_is_staged
+
+    if flagship_is_staged(plan):
+        def step(prev):
+            return sq(prev)[..., :L]
+
+        def mstep(prev, db):
+            return mul_fn(prev, db)[..., :L]
+    else:
+        @jax.jit
+        def step(prev):
+            return sq(prev)[..., :L]
+
+        @jax.jit
+        def mstep(prev, db):
+            return mul_fn(prev, db)[..., :L]
+
+    log(f"bench-sqr: plan depth={plan.depth} w={plan.w}; compiling")
+    out_host = np.asarray(sq(da))
+    for _ in range(1 if bits > 1_000_000_000 else 2):
+        _ = int(jnp.sum(step(da)))
+
+    log("bench-sqr: timing sqr")
+    t0 = time.perf_counter()
+    prev = da
+    for _ in range(reps):
+        prev = step(prev)
+    sink = int(jnp.sum(prev))
+    wall = (time.perf_counter() - t0) / reps
+
+    # A/B: the SAME plan through the two-transform mul pipeline
+    log("bench-sqr: timing mul (same plan, A/B)")
+    _ = int(jnp.sum(mstep(da, da)))
+    t0 = time.perf_counter()
+    prev = da
+    for _ in range(reps):
+        prev = mstep(prev, da)
+    sink += int(jnp.sum(prev))
+    mul_wall = (time.perf_counter() - t0) / reps
+
+    log("bench-sqr: checking exactness")
+    got = mulmod.int_from_digits(out_host)
+    ok = product_matches(got, a, a, bits)
+    log("bench-sqr: measuring CPU baseline")
+    base = native.gmp_baseline(bits, 2)
+    if base is not None or bits in QUIET_HOST_GMP_S:
+        base_s, base_info = honest_baseline(
+            bits, base["value"] if base is not None else None)
+    else:
+        t0 = time.perf_counter()
+        _ = a * a
+        base_s = time.perf_counter() - t0
+        base_info = {"kind": "cpython_int", "seconds": round(base_s, 6)}
+
+    return {
+        "metric": f"sqr_{bits}bit_walltime",
+        "value": round(wall, 6),
+        "unit": "s",
+        "vs_baseline": round(base_s / wall, 3),
+        "exact": bool(ok),
+        "mul_same_plan_seconds": round(mul_wall, 6),
+        "sqr_vs_mul": round(mul_wall / wall, 3),
+        "baseline": base_info,
+        "driver": "flagship_sqr",
+        "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
+        "plan_source": plan_source,
+        "device": str(jax.devices()[0]),
+        "reps": reps,
+        "sink": sink % 1000,
+    }
+
+
+def bench_floor(bits, reps=None):
+    """Dispatch-floor probe: times an EMPTY chained program (one trivial
+    elementwise op on the same digit shapes the real multiply uses) so the
+    per-dispatch tunnel/runtime overhead can be separated from compute at
+    small sizes (VERDICT r3: is the 10^6-bit 0.74 ms the pipeline or the
+    tunnel?).  Reports seconds/rep at several chain depths."""
+    if reps is None:
+        reps = 64
+
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS
+    from mpir_fft_tpu.utils.params import cdiv
+
+    L = cdiv(bits, DIGIT_BITS)
+    da = jnp.zeros((L,), jnp.int32)
+
+    @jax.jit
+    def step(prev):
+        return prev + 1
+
+    _ = int(jnp.sum(step(da)))
+    out = {}
+    for r in (8, 32, reps):
+        t0 = time.perf_counter()
+        prev = da
+        for _ in range(r):
+            prev = step(prev)
+        _ = int(jnp.sum(prev))
+        out[f"reps_{r}"] = round((time.perf_counter() - t0) / r, 9)
+    return {
+        "metric": f"dispatch_floor_{bits}bit_shape",
+        "value": out[f"reps_{reps}"],
+        "unit": "s",
+        "vs_baseline": 0.0,
+        "per_rep": out,
+        "device": str(jax.devices()[0]),
     }
 
 
@@ -234,11 +406,11 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
     from mpir_fft_tpu.models import mul as mulmod
     from mpir_fft_tpu.models.mul import DRIVERS, flagship_is_huge, flagship_is_staged
     from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int
-    from mpir_fft_tpu.utils.params import cdiv, choose_params
+    from mpir_fft_tpu.utils.params import cdiv
 
     rng = np.random.default_rng(1)
     pairs = [(rand_bits(rng, bits), rand_bits(rng, bits)) for _ in range(k)]
-    plan = choose_params(bits, bits, sqrt2=DRIVERS[driver][1])
+    plan, plan_source = _production_plan(bits, bits, driver)
     assert not (driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan))), \
         "batch mode targets sizes below the staged threshold"
     L = cdiv(bits, DIGIT_BITS)
@@ -289,6 +461,7 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
         "baseline": base_info,
         "driver": driver,
         "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
+        "plan_source": plan_source,
         "device": str(jax.devices()[0]),
         "reps": reps,
         "batch": k,
@@ -306,6 +479,16 @@ def main():
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else None
         driver = sys.argv[5] if len(sys.argv) > 5 else "flagship"
         print(json.dumps(bench_batch(bits, k, reps, driver)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "sqr":
+        bits = int(sys.argv[2])
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        print(json.dumps(bench_sqr(bits, reps)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "floor":
+        bits = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        print(json.dumps(bench_floor(bits, reps)))
         return
     if len(sys.argv) > 1:
         # explicit-size A/B mode: bench.py bits [reps] [driver] [depth]
@@ -329,14 +512,23 @@ def main():
         log(f"bench: === {bits} bits ===")
         sweep.append(bench_one(bits))
     head = sweep[-1]  # headline = largest size (the BASELINE.md north star)
-    # one batched-throughput datapoint: small single products are dispatch-
+    # batched-throughput datapoints: small single products are dispatch-
     # latency-bound (BASELINE.md), the batch mode is the production answer
     if not sizes_env:
-        log("bench: === 1e6-bit batch throughput ===")
-        try:
-            sweep.append(bench_batch(1_000_000, 16))
-        except Exception as e:  # a batch failure must not sink the sweep
-            log(f"bench: batch datapoint failed: {e!r}")
+        for bbits, bk in ((1_000_000, 16), (10_000_000, 8)):
+            log(f"bench: === {bbits}-bit batch throughput ===")
+            try:  # a batch failure must not sink the sweep
+                sweep.append(bench_batch(bbits, bk))
+            except Exception as e:
+                log(f"bench: batch datapoint failed: {e!r}")
+        # squaring datapoints: the one-transform saving, proven at the
+        # two sizes whose transforms dominate wall time
+        for sbits in (100_000_000, 1_000_000_000):
+            log(f"bench: === {sbits}-bit sqr ===")
+            try:
+                sweep.append(bench_sqr(sbits))
+            except Exception as e:
+                log(f"bench: sqr datapoint failed: {e!r}")
     print(
         json.dumps(
             {

@@ -28,7 +28,15 @@ programs over PACKED coefficient storage:
 Scope: flagship (sqrt2) plans with digit-aligned bits1 and both operands
 fitting the first convolution half (j1, j2 <= conv_len/2 -- always true for
 balanced operands; models.mul falls back to the staged path otherwise).
-Entries: mul_huge / sqr_huge on device digit vectors."""
+Entries: mul_huge / sqr_huge on device digit vectors.
+
+Multi-chip: pass a parallel.mfa_sharded.ShardCtx as `ctx` and every pass
+runner distributes its work over the mesh -- column passes shard column
+blocks (the stride-n1 walk, ref mul_fft.c:2035-2051), row passes shard row
+groups, the pointwise stage shards spectrum rows (zero collectives), and
+the col<->row alternation's ICI all-to-all rides the sharding switch
+inside each chunk program.  Per-device HBM drops by the shard factor,
+which is what carries the >2x10^9-bit regime onto a pod slice."""
 
 from __future__ import annotations
 
@@ -158,15 +166,57 @@ def _gather_rows(parts, g0, gb: int, L: int):
 # chunk may add a second compile)
 # ---------------------------------------------------------------------------
 
-def _col_pass(store: Store, fcol, G_in: int, g_keep: int, L: int) -> Store:
+def _shardable(ctx, n1: int) -> bool:
+    return ctx is not None and n1 % ctx.ndev == 0
+
+
+def _col_pass(store: Store, fcol, G_in: int, g_keep: int, L: int,
+              ctx=None) -> Store:
     """Column pass over an R-form store -> C-form store.
     fcol(blk [cb, G_in, L], c0) -> [cb, G_out>=g_keep, L]; outputs sliced to
-    g_keep row groups (truncated transforms leave garbage past trunc2)."""
+    g_keep row groups (truncated transforms leave garbage past trunc2).
+
+    With a ShardCtx, each chunk program processes ndev column blocks at
+    once: the gathered block redistributes onto the mesh's column sharding
+    (ONE ICI all-to-all against the previous pass's row sharding, the
+    col<->row alternation of the stride-n1 walk, ref mul_fft.c:2035-2051)
+    and fcol runs device-local under shard_map -- same fused Pallas kernels
+    per device block as the in-HBM sharded MFA (ops.mfa._run_cols)."""
     assert store.form == "R"
     n1 = store.n1
     cb = max(1, min(n1, CHUNK_BYTES // (4 * G_in * L)))
     while n1 % cb:
         cb -= 1
+    if _shardable(ctx, n1):
+        from jax.sharding import PartitionSpec as P
+
+        ax, mesh, ndev = ctx.axis, ctx.mesh, ctx.ndev
+        cb_loc = max(1, min(cb, n1 // ndev))
+        while (n1 // ndev) % cb_loc:
+            cb_loc -= 1
+        cbt = cb_loc * ndev
+
+        def local(blk, c0):
+            # blk [cb_loc, G_in, L] device-local; absolute first column
+            off = c0 + jax.lax.axis_index(ax) * cb_loc
+            out = fcol(blk, off)
+            return _pack(out[:, :g_keep, :])
+
+        fm = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax, None, None), P()), out_specs=(P(ax, None, None), P(ax, None)),
+            check_vma=False,  # pallas_call outputs carry no vma info
+        )
+
+        @jax.jit
+        def prog(parts, c0):
+            blk = _gather_cols(parts, c0, cbt, n1, G_in, L)  # [G_in, cbt, L]
+            u, m = fm(jnp.swapaxes(blk, 0, 1), c0)
+            return jnp.swapaxes(u, 0, 1), jnp.swapaxes(m, 0, 1)
+
+        parts = [prog(store.parts, jnp.int32(c0))
+                 for c0, _ in _ranges(n1, cbt)]
+        return Store("C", parts, n1)
 
     @jax.jit
     def prog(parts, c0):
@@ -178,13 +228,46 @@ def _col_pass(store: Store, fcol, G_in: int, g_keep: int, L: int) -> Store:
     return Store("C", parts, n1)
 
 
-def _row_pass(store: Store, frow, L: int, gb: int) -> Store:
+def _row_pass(store: Store, frow, L: int, gb: int, ctx=None) -> Store:
     """Row pass over a C-form store -> R-form store with gb*n1-row chunks.
-    frow(blk [gb, n1, L]) -> same shape (independent length-n1 transforms)."""
+    frow(blk [gb, n1, L]) -> same shape (independent length-n1 transforms).
+
+    With a ShardCtx, row groups shard over the mesh (rows are independent
+    length-n1 transforms -- zero collectives inside the pass; the gather
+    from the column-sharded C-form parts carries the ICI all-to-all)."""
     assert store.form == "C"
     n1 = store.n1
     G = store.parts[0][0].shape[0]
     gb = max(1, min(G, gb))
+    if ctx is not None and G % ctx.ndev == 0:
+        from jax.sharding import PartitionSpec as P
+
+        ax, mesh, ndev = ctx.axis, ctx.mesh, ctx.ndev
+        gb = max(ndev, (gb // ndev) * ndev)
+
+        def local(blk):
+            return _pack(frow(blk))
+
+        fm = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(ax, None, None),),
+            out_specs=(P(ax, None, None), P(ax, None)),
+            check_vma=False,
+        )
+
+        @functools.lru_cache(maxsize=2)
+        def prog_for(gbs):
+            @jax.jit
+            def prog(parts, g0):
+                u, m = fm(_gather_rows(parts, g0, gbs, L))
+                return (u.reshape(gbs * n1, L), m.reshape(gbs * n1))
+            return prog
+
+        # every chunk incl. the tail divides ndev: G % ndev == 0 and
+        # gb % ndev == 0 imply (G mod gb) % ndev == 0
+        parts = [prog_for(gsz)(store.parts, jnp.int32(g0))
+                 for g0, gsz in _ranges(G, gb)]
+        return Store("R", parts, n1)
 
     @functools.lru_cache(maxsize=2)
     def prog_for(gbs):
@@ -268,7 +351,7 @@ def _split_store(digits, plan: MulPlan, j: int, twiddle: bool) -> Store:
     return Store("R", parts, n1)
 
 
-def _forward(digits, plan: MulPlan, j: int) -> Store:
+def _forward(digits, plan: MulPlan, j: int, ctx=None) -> Store:
     """Forward transform of one operand -> R-form spectrum store covering
     flat spectrum positions [0, t) (left half then right half, the
     monolithic layout of ops/mfa.mfa_fft_trunc_sqrt2)."""
@@ -286,9 +369,10 @@ def _forward(digits, plan: MulPlan, j: int) -> Store:
             lambda b, c0: fft_trunc(
                 b, (w // 2) * n1, W, t2,
                 _cross_exps(b.shape[0], G, w // 2, W, j1_start=c0)),
-            G, t2, L)
+            G, t2, L, ctx=ctx)
         sp.free()
-        r = _row_pass(c, lambda b: fft_radix2(b, (w // 2) * G, W), L, gb)
+        r = _row_pass(c, lambda b: fft_radix2(b, (w // 2) * G, W), L, gb,
+                      ctx=ctx)
         c.free()
         return r
 
@@ -301,9 +385,9 @@ def _forward(digits, plan: MulPlan, j: int) -> Store:
             lambda b, c0: fft_trunc(
                 b, w * n1, W, t2,
                 _cross_exps(b.shape[0], G, w, W, j1_start=c0)),
-            G, t2, L)
+            G, t2, L, ctx=ctx)
         sp.free()
-        r = _row_pass(c, lambda b: fft_radix2(b, w * G, W), L, gb)
+        r = _row_pass(c, lambda b: fft_radix2(b, w * G, W), L, gb, ctx=ctx)
         c.free()
         return r
 
@@ -315,9 +399,9 @@ def _forward(digits, plan: MulPlan, j: int) -> Store:
         lambda b, c0: fft_radix2(
             b, w * n1, W,
             post_exps=_cross_exps(b.shape[0], G, w, W, j1_start=c0)),
-        G, G, L)
+        G, G, L, ctx=ctx)
     sp.free()
-    left = _row_pass(cL, lambda b: fft_radix2(b, w * G, W), L, gb)
+    left = _row_pass(cL, lambda b: fft_radix2(b, w * G, W), L, gb, ctx=ctx)
     cL.free()
     # right half: truncate1 MFA of the sqrt2-weighted rows
     spT = _split_store(digits, plan, j, twiddle=True)
@@ -326,38 +410,54 @@ def _forward(digits, plan: MulPlan, j: int) -> Store:
         lambda b, c0: fft_trunc1(
             b, w * n1, W, k2,
             _cross_exps(b.shape[0], G, w, W, j1_start=c0)),
-        G, k2, L)
+        G, k2, L, ctx=ctx)
     spT.free()
-    right = _row_pass(cR, lambda b: fft_radix2(b, w * G, W), L, gb)
+    right = _row_pass(cR, lambda b: fft_radix2(b, w * G, W), L, gb, ctx=ctx)
     cR.free()
     return Store("R", left.parts + right.parts, n1)
 
 
-def _pointwise_rows(fa: Store, fb, plan: MulPlan):
+def _pointwise_rows(fa: Store, fb, plan: MulPlan, ctx=None):
     """Pointwise mulmod + row-IFFT streamed over aligned chunk pairs (ref
     pointwise loop mul_fft.c:3626-3654 fused with the combined inverse's row
     leg, mul_fft.c:2745-2923); consumed chunks are freed.  fb=None squares.
     Returns (prodL, prodR): rows [0, bnd) and [bnd, t), bnd = h for the odd
-    t > h composite, else t (prodR empty)."""
+    t > h composite, else t (prodR empty).
+
+    With a ShardCtx, spectrum rows shard over the mesh inside each chunk
+    program (positionwise + whole row-IFFT groups per device: zero
+    collectives, the embarrassing axis of SURVEY section 2)."""
     ring, C4, h, n1, t = _geometry(plan)
     L, W = ring.L, plan.W
     row_w = plan.w * ((C4 // 2) // n1)
     bnd = h if (plan.w % 2 == 1 and t > h) else t
 
-    @functools.lru_cache(maxsize=4)
-    def prog_for(rows, square):
+    def _core(square):
         if square:
-            @jax.jit
-            def prog(ua, ma):
+            def core(ua, ma):
                 a = _unpack(ua, ma)
                 return _pack(ifft_mfa_rows(mulmod(a, a, W), row_w, W, n1))
         else:
-            @jax.jit
-            def prog(ua, ma, ub, mb):
+            def core(ua, ma, ub, mb):
                 a = _unpack(ua, ma)
                 b = _unpack(ub, mb)
                 return _pack(ifft_mfa_rows(mulmod(a, b, W), row_w, W, n1))
-        return prog
+        return core
+
+    @functools.lru_cache(maxsize=4)
+    def prog_for(rows, square):
+        core = _core(square)
+        nargs = 2 if square else 4
+        if ctx is not None and (rows // n1) % ctx.ndev == 0:
+            from jax.sharding import PartitionSpec as P
+
+            ax = ctx.axis
+            specs = (P(ax, None), P(ax)) * (nargs // 2)
+            core = jax.shard_map(
+                core, mesh=ctx.mesh, in_specs=specs,
+                out_specs=(P(ax, None), P(ax)), check_vma=False,
+            )
+        return jax.jit(core)
 
     outL, outR, r0 = [], [], 0
     for i in range(len(fa.parts)):
@@ -428,10 +528,14 @@ class _CombineAcc:
         return out[: self.Lout]
 
 
-def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
+def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan,
+                         ctx=None):
     """Inverse transform (row legs already applied) + scale + combine ->
     canonical product digit vector (ref IFFT_radix2_mfa_truncate_sqrt2
-    mul_fft.c:2593-2743 + scale/combine mul_fft.c:3658-3665)."""
+    mul_fft.c:2593-2743 + scale/combine mul_fft.c:3658-3665).  Column
+    passes shard under ctx; the emit/tail/combine streams stay unsharded
+    (they are a small fraction of pass work and feed the host-side
+    combine accumulator)."""
     ring, C4, h, n1, t = _geometry(plan)
     L, W, w = ring.L, plan.W, plan.w
     Lout = cdiv(plan.bits_a + plan.bits_b, DIGIT_BITS) + 2
@@ -465,7 +569,7 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
             lambda b, c0: ifft_trunc(
                 b, wcol, W, t2,
                 _cross_exps(b.shape[0], G, wcol // n1, W, j1_start=c0)),
-            G, t2, L)
+            G, t2, L, ctx=ctx)
         prodL.free()
         # odd-w t <= h: result is 2 * left (ref mul_fft.c:1694-1695) --
         # fold the doubling into the scale
@@ -484,7 +588,7 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
         lambda b, c0: ifft_radix2(
             b, w * n1, W,
             pre_exps=_cross_exps(b.shape[0], G, w, W, j1_start=c0)),
-        G, G, L)
+        G, G, L, ctx=ctx)
     prodL.free()
 
     # vr = [prodR rows (row-done spectrum positions h..t) | reconstructed
@@ -513,7 +617,7 @@ def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan):
         lambda b, c0: ifft_trunc1(
             b, w * n1, W, k2,
             _cross_exps(b.shape[0], G, w, W, j1_start=c0)),
-        G, k2, L)
+        G, k2, L, ctx=ctx)
     vr.free()
     prodR.parts = []
 
@@ -570,18 +674,24 @@ def huge_serves(plan: MulPlan) -> bool:
     )
 
 
-def mul_huge(da, db, plan: MulPlan):
-    """Product digit vector of two device digit vectors, out-of-core."""
+def mul_huge(da, db, plan: MulPlan, ctx=None):
+    """Product digit vector of two device digit vectors, out-of-core.
+
+    ctx: optional parallel.mfa_sharded.ShardCtx -- every transform pass
+    distributes its column blocks / row groups over the mesh (the model-
+    parallel flavor of the engine; per-device HBM drops by the shard
+    factor, enabling the >2x10^9-bit sizes on a pod slice).  Ref anchor:
+    the stride-n1 column walk this shards, mul_fft.c:2035-2051."""
     assert huge_serves(plan)
-    fa = _forward(jnp.asarray(da), plan, plan.j1)
-    fb = _forward(jnp.asarray(db), plan, plan.j2)
-    prodL, prodR = _pointwise_rows(fa, fb, plan)
-    return _inverse_and_combine(prodL, prodR, plan)
+    fa = _forward(jnp.asarray(da), plan, plan.j1, ctx=ctx)
+    fb = _forward(jnp.asarray(db), plan, plan.j2, ctx=ctx)
+    prodL, prodR = _pointwise_rows(fa, fb, plan, ctx=ctx)
+    return _inverse_and_combine(prodL, prodR, plan, ctx=ctx)
 
 
-def sqr_huge(da, plan: MulPlan):
+def sqr_huge(da, plan: MulPlan, ctx=None):
     """Squaring: ONE forward transform (ref has no squaring entry)."""
     assert huge_serves(plan)
-    fa = _forward(jnp.asarray(da), plan, plan.j1)
-    prodL, prodR = _pointwise_rows(fa, None, plan)
-    return _inverse_and_combine(prodL, prodR, plan)
+    fa = _forward(jnp.asarray(da), plan, plan.j1, ctx=ctx)
+    prodL, prodR = _pointwise_rows(fa, None, plan, ctx=ctx)
+    return _inverse_and_combine(prodL, prodR, plan, ctx=ctx)

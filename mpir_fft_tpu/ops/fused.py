@@ -54,12 +54,14 @@ STAGE_FUDGE = 14
 # group (butterfly carry=False) is what freed the VMEM for 5.
 LADDER = 5
 
-# diagnostic: ladder calls that took the twiddle-factorize branch since
-# import.  Tests pin that their shapes actually exercise the branch (the
-# _lvls heuristic could silently stop choosing it if LADDER or the level
-# model changes, degrading a factorization test to re-covering the plain
-# path; ADVICE r3).
+# diagnostics: ladder calls that took the twiddle-factorize branch, and
+# ladder stages that applied their twiddles as static-unrolled shifts,
+# since import.  Tests pin that their shapes actually exercise each branch
+# (the cost heuristics could silently stop choosing one if LADDER or the
+# level model changes, degrading a test to re-covering another path;
+# ADVICE r3).
 _FACTORIZED_CALLS = 0
+_UNROLLED_STAGES = 0
 
 
 def _padded_row_bytes(C: int, L: int, itemsize: int) -> int:
@@ -298,14 +300,6 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
         if g >= 16:
             return max(0, nbits - (g.bit_length() - 5))
         return nbits + 1
-    factorize = (
-        h > 1 and not has_pe
-        and sum(_lvls(h * s) for s in steps) + _lvls(steps[0])
-        < sum(_lvls(s) for s in steps)
-    )
-    if factorize:
-        global _FACTORIZED_CALLS
-        _FACTORIZED_CALLS += 1
 
     Lpad = -(-L // 128) * 128
     R = max(K, VMEM_SCOPED_LIMIT // (STAGE_FUDGE * Lpad * xp.dtype.itemsize))
@@ -321,6 +315,37 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
     while N % nb:
         nb -= 1
     grid = (N // nb, h // hb)
+
+    # Static-unroll twiddles: a stage whose exponents are STATIC per block
+    # position (factorize mode: e = qm * h*steps[j]; or h == hb so hpos is
+    # the block-local index: e = (qm*h + r)*steps[j]) applies them as a
+    # python-unrolled loop of static shift_mod slices along the (qm[, r])
+    # axes -- ONE data pass (static negacyclic roll + static bit shift per
+    # slice), instead of a per-row barrel of up to log2(L)+1 roll+select
+    # levels.  This is the shift-decomposition motif (ref mul_fft.c:525-541,
+    # TODO:109-122) taken to its TPU endpoint: when the exponent is known at
+    # trace time, NO selects at all.  VERDICT r3's top item.
+    _UNROLL_MAX = 64
+    static_hpos = h == hb   # grid dim 1: absolute hpos == local index
+    # per-stage twiddle cost (data passes) under each mode; m_j = K >> (j+1)
+    def _cost_nofact(j):
+        if static_hpos and (K >> (j + 1)) * hb <= _UNROLL_MAX:
+            return 1
+        return _lvls(steps[j])
+
+    def _cost_fact(j):
+        if (K >> (j + 1)) <= _UNROLL_MAX:
+            return 1
+        return _lvls(h * steps[j])
+
+    factorize = (
+        h > 1 and not has_pe
+        and sum(_cost_fact(j) for j in range(k)) + _lvls(steps[0])
+        < sum(_cost_nofact(j) for j in range(k))
+    )
+    if factorize:
+        global _FACTORIZED_CALLS
+        _FACTORIZED_CALLS += 1
     spec = pl.BlockSpec((nb, K, hb, L), lambda i, j: (i, 0, j, 0),
                         memory_space=pltpu.VMEM)
     spec_pe = pl.BlockSpec((nb, K // 2, 2), lambda i, j: (i, 0, 0),
@@ -346,6 +371,28 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
 
     assert pre_half is None or kind == "fwd"
 
+    def _static_shift(v, j, inverse: bool):
+        # v: (nb, nblk, m, hb, L) -- apply the stage twiddle as a python-
+        # unrolled loop of STATIC shift_mod slices (static roll + static bit
+        # shift, zero selects).  factorize: e = qm * h*steps[j] (qm axis
+        # only); else (static_hpos) e = (qm*h + r)*steps[j] over both axes.
+        m = v.shape[2]
+        sgn = -1 if inverse else 1
+        cols = []
+        for qm in range(m):
+            sl = v[:, :, qm:qm + 1]
+            if factorize:
+                e = (sgn * qm * h * steps[j]) % (2 * W)
+                cols.append(shift_mod(sl, e, W))
+            else:
+                rows = []
+                for r in range(hb):
+                    e = (sgn * (qm * h + r) * steps[j]) % (2 * W)
+                    rows.append(shift_mod(sl[:, :, :, r:r + 1], e, W))
+                cols.append(rows[0] if hb == 1
+                            else jnp.concatenate(rows, axis=3))
+        return cols[0] if m == 1 else jnp.concatenate(cols, axis=2)
+
     def kernel(*refs):
         x = refs[0][...]
         pe_blk = refs[1][...] if has_pe else None
@@ -364,6 +411,24 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
                 m = K >> (j + 1)
                 xr = x.reshape(nb, K // (2 * m), 2, m, hb, L)
                 a, b = xr[:, :, 0], xr[:, :, 1]
+                pes = pet = None
+                if has_pe and j == k - 1:   # m == 1, hb == 1
+                    pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
+                    pet = pe_blk[:, :, 1].reshape(nb, K // 2, 1, 1, 1)
+                unroll = pes is None and pet is None and (
+                    m <= _UNROLL_MAX if factorize
+                    else (static_hpos and m * hb <= _UNROLL_MAX))
+                if unroll:
+                    # static exponents: unrolled static shifts, no barrel
+                    global _UNROLLED_STAGES
+                    _UNROLLED_STAGES += 1
+                    if kind == "fwd":
+                        s, t = a + b, _static_shift(a - b, j, inverse=False)
+                    else:
+                        hh = _static_shift(b, j, inverse=True)
+                        s, t = a + hh, a - hh
+                    x = jnp.stack([s, t], axis=2).reshape(nb, K, hb, L)
+                    continue
                 qm = jax.lax.broadcasted_iota(
                     jnp.int32, (1, 1, m, hb, 1), 2)
                 if factorize:
@@ -378,10 +443,6 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
                     # every e is a multiple of steps[j]: static hint for the
                     # twiddle's barrel shifter (limb.shift_mod gcd)
                     g = steps[j] & -steps[j]
-                pes = pet = None
-                if has_pe and j == k - 1:   # m == 1, hb == 1
-                    pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
-                    pet = pe_blk[:, :, 1].reshape(nb, K // 2, 1, 1, 1)
                 if kind == "fwd":
                     e_t = e if pet is None else e + pet
                     s, t = butterfly_fwd(a, b, e_t, W, e_s=pes,

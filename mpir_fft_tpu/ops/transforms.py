@@ -224,7 +224,15 @@ def ifft_innermost_body(v, steps, W: int, K: int):
     """Pure-ops core of ifft_innermost on [..., R, L] (R a multiple of K):
     also usable INSIDE a Pallas kernel (ntt._garner_carry fuses it as a
     post-body so the pointwise chunk's first inverse leg costs no extra HBM
-    round trip)."""
+    round trip).
+
+    Stage exponents i*steps[l2] are static per position i, so the twiddle
+    divides are applied as a python-unrolled loop of h2 <= K/2 STATIC
+    shift_mod slices (static roll + bit shift, zero selects) instead of a
+    per-row barrel of ~log2(L) roll+select levels (the static-roll motif of
+    fused.fused_butterfly_ladder, ref mul_fft.c:525-541)."""
+    from .limb import carry_pass
+
     lead, R, L = v.shape[:-2], v.shape[-2], v.shape[-1]
     kg = len(steps)
     x = v.reshape(lead + (R // K, K, L))
@@ -233,9 +241,18 @@ def ifft_innermost_body(v, steps, W: int, K: int):
         xr = x.reshape(lead + (R // K, 1 << l2, 2, h2, L))
         s = xr[..., 0, :, :]
         t = xr[..., 1, :, :]
-        e = _iota_exps(h2, steps[l2])
-        g = steps[l2] & -steps[l2]
-        a, b = butterfly_inv(s, t, e, W, gcd_t=g)
+        if h2 <= 64:
+            cols = [
+                shift_mod(t[..., i : i + 1, :],
+                          (-(i * steps[l2])) % (2 * W), W)
+                for i in range(h2)
+            ]
+            hh = cols[0] if h2 == 1 else jnp.concatenate(cols, axis=-2)
+            a, b = carry_pass(s + hh), carry_pass(s - hh)
+        else:
+            e = _iota_exps(h2, steps[l2])
+            g = steps[l2] & -steps[l2]
+            a, b = butterfly_inv(s, t, e, W, gcd_t=g)
         x = jnp.stack([a, b], axis=-3).reshape(lead + (R // K, K, L))
     return x.reshape(v.shape)
 

@@ -164,27 +164,34 @@ def sharded_staged_mul_step(mesh: Mesh, bits: int = 1 << 14) -> None:
         M._staged_flagship.cache_clear()
 
 
-def huge_mul_step(bits: int = 1 << 15) -> None:
+def huge_mul_step(bits: int = 1 << 15, mesh: Mesh | None = None) -> None:
     """One tiny-chunk out-of-core multiply (models/huge.py), chunk sizes
     forced small so the chunk loops actually iterate, verified bit-exactly.
-    Runs on the default device of whatever platform is active -- under the
-    dryrun's virtual-CPU mesh environment this certifies the out-of-core
-    engine executes in the multi-device runtime (its per-product stream is
-    single-device by design; DP across products is the batch flavor)."""
+    With a mesh, the SHARDED flavor runs: every transform pass distributes
+    its column blocks / row groups over the devices with the col<->row
+    all-to-all at pass alternations (models.huge ctx plumbing; ref anchor
+    mul_fft.c:2035-2051), certifying the model-parallel out-of-core path."""
     import mpir_fft_tpu.models.huge as H
 
     depth = 6
     plan = plan_for_depth(bits, bits, depth, sqrt2=True)
     assert H.huge_serves(plan), plan
+    ctx = None
+    if mesh is not None:
+        ctx = ShardCtx(mesh)
+        assert plan.n1 % ctx.ndev == 0, (plan.n1, ctx.ndev)
     rng = np.random.default_rng(3)
     a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
     b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
     da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
     db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
     old = H.CHUNK_BYTES, H.PW_CHUNK_BYTES
-    H.CHUNK_BYTES, H.PW_CHUNK_BYTES = 1 << 14, 1 << 13
+    # sharded: pw chunks big enough that rows/n1 divides the mesh (the
+    # sharded pointwise gate); unsharded: tiny, so the chunk loops iterate
+    H.CHUNK_BYTES = 1 << 14
+    H.PW_CHUNK_BYTES = (1 << 16) if mesh is not None else (1 << 13)
     try:
-        got = int_from_digits(np.asarray(H.mul_huge(da, db, plan)))
+        got = int_from_digits(np.asarray(H.mul_huge(da, db, plan, ctx=ctx)))
         assert got == a * b, "out-of-core multiply mismatch"
     finally:
         H.CHUNK_BYTES, H.PW_CHUNK_BYTES = old

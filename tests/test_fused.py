@@ -80,16 +80,16 @@ def test_ladder_factorized_group_twiddle_matches_plain(rng):
     stage exponents + ONE composed z^(hpos*step0*revbin(p)) group pass,
     fused.fused_butterfly_ladder `factorize`) is bit-identical to the plain
     XLA path.  The production 10^8/10^9-bit flat plans run this branch in
-    every ladder group with h > 1 (the h == 1 shapes of the tests above can
-    never activate it), so it needs its own pin: C = 256 with L = 64 puts
-    h = 8 in the first group and the level-count heuristic chooses
-    factorization there (verified statically against fused._lvls)."""
+    their outer ladder groups (h > hb, so hpos is grid-dependent and the
+    composed group pass beats per-stage barrels), so it needs its own pin:
+    C = 1024 with L = 64 puts h = 32 > hb = 8 in the first group and the
+    cost heuristic chooses factorization there."""
     old = fused.MAX_FUSED_L
     fused.MAX_FUSED_L = 16
     try:
-        C, L = 256, 64
+        C, L = 1024, 64
         W = 16 * L            # 1024 bits
-        w = 2 * W // (2 * C)  # = 4: first-group steps 4..64, all sub-digit
+        w = 2 * W // (2 * C)  # = 1: first-group steps 1..16, all sub-digit
         x = _rand(rng, (2, C, L))
         plain = fft_radix2(jnp.asarray(x), w, W)
         before = fused._FACTORIZED_CALLS
@@ -104,6 +104,35 @@ def test_ladder_factorized_group_twiddle_matches_plain(rng):
         with force_pallas(True):
             fast_i = ifft_radix2(plain, w, W)
         assert fused._FACTORIZED_CALLS > before
+        _eq_mod(plain_i, fast_i, W)
+    finally:
+        fused.MAX_FUSED_L = old
+
+
+def test_ladder_static_unroll_matches_plain(rng):
+    """The ladder kernels' static-unrolled stage twiddles (grid-1 groups:
+    h == hb makes every exponent static, so the stage applies python-
+    unrolled static shifts instead of a per-row barrel) are bit-identical
+    to the plain XLA path.  C = 256 with L = 64 puts h = hb = 8 in the
+    first group, which therefore does NOT factorize and unrolls instead."""
+    old = fused.MAX_FUSED_L
+    fused.MAX_FUSED_L = 16
+    try:
+        C, L = 256, 64
+        W = 16 * L            # 1024 bits
+        w = 2 * W // (2 * C)  # = 4: first-group steps 4..64, all sub-digit
+        x = _rand(rng, (2, C, L))
+        plain = fft_radix2(jnp.asarray(x), w, W)
+        before = fused._UNROLLED_STAGES
+        with force_pallas(True):
+            fast = fft_radix2(jnp.asarray(x), w, W)
+        assert fused._UNROLLED_STAGES > before
+        _eq_mod(plain, fast, W)
+        plain_i = ifft_radix2(plain, w, W)
+        before = fused._UNROLLED_STAGES
+        with force_pallas(True):
+            fast_i = ifft_radix2(plain, w, W)
+        assert fused._UNROLLED_STAGES > before
         _eq_mod(plain_i, fast_i, W)
     finally:
         fused.MAX_FUSED_L = old

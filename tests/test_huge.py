@@ -69,6 +69,33 @@ def test_sqr_huge_exact(rng):
     _run(plan, 100_000, 100_000, rng, square=True)
 
 
+def test_mul_huge_sharded(rng):
+    """The sharded out-of-core flavor: every transform pass distributes its
+    column blocks / row groups over an 8-device mesh (models.huge ctx
+    plumbing; ref anchor: the stride-n1 column walk, mul_fft.c:2035-2051),
+    bit-exact with multiple chunks per pass.  Covers the odd-w t > h
+    composite (all three col-pass call sites) and squaring."""
+    import jax
+    from jax.sharding import Mesh
+
+    from mpir_fft_tpu.parallel.mfa_sharded import ShardCtx
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("cols",))
+    ctx = ShardCtx(mesh)
+    ba = bb = 100_000
+    plan = plan_for_depth(ba, bb, 7, sqrt2=True)
+    assert plan.w % 2 == 1 and plan.trunc_mfa > plan.conv_len // 2
+    assert plan.n1 % ctx.ndev == 0
+    a = int.from_bytes(rng.bytes(ba // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bb // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(ba, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bb, DIGIT_BITS)))
+    got = int_from_digits(np.asarray(huge.mul_huge(da, db, plan, ctx=ctx)))
+    assert got == a * b, "sharded out-of-core multiply mismatch"
+    got_sq = int_from_digits(np.asarray(huge.sqr_huge(da, plan, ctx=ctx)))
+    assert got_sq == a * a, "sharded out-of-core squaring mismatch"
+
+
 def test_huge_matches_flagship(rng):
     """Same product through the monolithic flagship and the out-of-core
     pipeline (pins inter-path equivalence, not just oracle correctness)."""
