@@ -306,17 +306,24 @@ def _staged_flagship_sharded(plan: MulPlan, ctx):
     mul_fft.c:2745-2923) run under an explicit shard_map over spectrum rows:
     positionwise, zero collectives.
 
-    Two single-chip specializations stay OFF here by design: the
+    One single-chip specialization stays OFF here by design: the
     flat-dispatch full-length transforms (no sharded formulation -- the MFA
     column axis IS the mesh axis, ops/mfa.py:300-317 gates flat on
-    con is None) and the Garner-fused inverse leg + norm_div tail folding
-    (flat-dispatch-only).  Per-device HBM is bounded by the shard factor:
-    at the 10^9-bit north-star config (t = 131072 rows, L = 2048) an 8-way
-    shard holds 16384 spectrum rows per device -- the same working set the
-    unsharded pipeline's 128 MB pointwise chunks bound."""
+    con is None).  The other two single-chip fusions DO run sharded
+    (round-4): the Garner-fused inverse row leg (the per-device pointwise
+    block's row IFFTs ride INSIDE the Garner CRT kernel via garner_post --
+    the leg is device-local, so the hook works unchanged under shard_map)
+    and the norm_div tail folded into the inverse program (the MFA
+    composite's last per-position pass; no separate normalize program).
+    Per-device HBM is bounded by the shard factor: at the 10^9-bit
+    north-star config (t = 131072 rows, L = 2048) an 8-way shard holds
+    16384 spectrum rows per device -- the same working set the unsharded
+    pipeline's 128 MB pointwise chunks bound."""
     from jax.sharding import PartitionSpec as P
 
     from mpir_fft_tpu.ops.mfa import ifft_mfa_rows
+    from mpir_fft_tpu.ops.ntt import garner_post
+    from mpir_fft_tpu.ops.transforms import ifft_innermost_body
 
     ring = Ring(plan.n, plan.w)
     W, n1, t = plan.W, plan.n1, plan.trunc_mfa
@@ -331,8 +338,15 @@ def _staged_flagship_sharded(plan: MulPlan, ctx):
         return mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=ctx)[..., :t, :]
 
     def _pw_local(fa, fb):
-        prod = _pointwise(fa, fb, W, True)
-        return ifft_mfa_rows(prod, row_w, W, n1)
+        # the row-IFFT leg (length-n1 groups, device-local) rides inside
+        # the Garner CRT kernel when the pointwise is NTT-served (ref
+        # combined variant, mul_fft.c:2745-2923); ifft_innermost_body with
+        # K = n1 IS the full length-n1 inverse, stage for stage
+        steps = tuple(row_w << j for j in range(n1.bit_length() - 1))
+        body = lambda blk: ifft_innermost_body(blk, steps, W, n1)
+        with garner_post(ring.L, n1, body) as cell:
+            prod = _pointwise(fa, fb, W, True)
+        return prod if cell["consumed"] else ifft_mfa_rows(prod, row_w, W, n1)
 
     # rows shard evenly in whole row-IFFT groups, else keep pointwise
     # unsharded (correct, replicated -- only tiny/degenerate plans hit this)
@@ -355,15 +369,14 @@ def _staged_flagship_sharded(plan: MulPlan, ctx):
 
     @functools.partial(jax.jit, donate_argnums=0)
     def inv_prog(prod):
+        # norm_div folds the drivers' scale+normalize tail into the
+        # inverse's last per-position pass -- no separate normalize program
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
         c = mfa_ifft_trunc_sqrt2(
             jnp.concatenate([prod, pad], axis=-2) if pad.shape[0] else prod,
-            plan.w, W, n1, t, con=ctx, rows_done=True)
+            plan.w, W, n1, t, con=ctx, rows_done=True,
+            norm_div=plan.lg_conv)
         return c[..., :t, :]
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def norm_prog(c):
-        return normmod_div(c, plan.lg_conv, W)
 
     @jax.jit
     def combine(c):
@@ -375,7 +388,7 @@ def _staged_flagship_sharded(plan: MulPlan, ctx):
             prod = sq_prog(fa)
         else:
             prod = pw_prog(fa, tf_prog(split_prog(db)))
-        return combine(norm_prog(inv_prog(prod)))
+        return combine(inv_prog(prod))
 
     return run
 
@@ -452,22 +465,16 @@ def _staged_flagship(plan: MulPlan, ctx=None):
     def sq_rows_chunk(fa):
         return _pw_inner(fa, fa)
 
-    flat = t == plan.conv_len
-
-    @functools.partial(jax.jit, donate_argnums=0)
-    def norm_chunk(c):
-        return normmod_div(c, plan.lg_conv, W)
-
     @functools.partial(jax.jit, donate_argnums=0)
     def inv_transform(prod):
-        # flat full-length plans fold the scale+normalize tail into the
-        # inverse's top-merge kernel (norm_div); truncated/MFA plans
-        # normalize in separate chunked programs afterwards
+        # the scale+normalize tail folds into the inverse's last
+        # per-position pass in BOTH dispatches (flat: the top-merge kernel;
+        # MFA: the sqrt2 top merge / appended in-program normalize) -- no
+        # separate chunked normalize programs
         pad = jnp.zeros((plan.conv_len - t, prod.shape[-1]), prod.dtype)
         c = mfa_ifft_trunc_sqrt2(
             jnp.concatenate([prod, pad], axis=-2) if pad.shape[0] else prod,
-            plan.w, W, n1, t, rows_done=True,
-            norm_div=plan.lg_conv if flat else 0)
+            plan.w, W, n1, t, rows_done=True, norm_div=plan.lg_conv)
         return c[..., :t, :]
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -492,16 +499,13 @@ def _staged_flagship(plan: MulPlan, ctx=None):
 
     def run(da, db=None):
         # one operand at a time keeps peak HBM to input + its transform;
-        # pointwise(+first-inverse leg) and normalization stream over row
-        # chunks.  db=None: squaring, one forward transform
+        # pointwise(+first-inverse leg) streams over row chunks.
+        # db=None: squaring, one forward transform
         if db is None:
             prod = chunked(sq_rows_chunk, fwd(da))
         else:
             prod = chunked(pw_rows_chunk, fwd(da), fwd(db))
-        c = inv_transform(prod)
-        if not flat:
-            c = chunked(norm_chunk, c)
-        return combine(c)
+        return combine(inv_transform(prod))
 
     return run
 

@@ -43,7 +43,7 @@ MAX_FUSED_L = 1024
 # per-stage butterfly kernels keep only one stage's temps on the Mosaic
 # stack, so they scale to much wider digit vectors
 MAX_STAGE_L = 8192
-STAGE_FUDGE = 14
+STAGE_FUDGE = int(os.environ.get("MPIR_FFT_STAGE_FUDGE", "14"))
 # how many consecutive butterfly stages one ladder kernel fuses (the classic
 # multi-stage FFT ladder): 2^LADDER positions stay VMEM-resident through
 # LADDER stages, cutting the transform's HBM round trips by that factor at
@@ -52,7 +52,7 @@ STAGE_FUDGE = 14
 # 5 -> 11.8/32.5 (rows/cols per quarter-slab), 6 regresses (blocks too
 # small); deferring the butterfly carry sweeps to one whole-block pass per
 # group (butterfly carry=False) is what freed the VMEM for 5.
-LADDER = 5
+LADDER = int(os.environ.get("MPIR_FFT_LADDER", "5"))
 
 # diagnostics: ladder calls that took the twiddle-factorize branch, and
 # ladder stages that applied their twiddles as static-unrolled shifts,
@@ -329,8 +329,8 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
     static_hpos = h == hb   # grid dim 1: absolute hpos == local index
     # per-stage twiddle cost (data passes) under each mode; m_j = K >> (j+1)
     def _cost_nofact(j):
-        if static_hpos and (K >> (j + 1)) * hb <= _UNROLL_MAX:
-            return 1
+        if static_hpos and (K >> (j + 1)) <= _UNROLL_MAX:
+            return 2 if hb > 1 else 1   # qm pass + r pass
         return _lvls(steps[j])
 
     def _cost_fact(j):
@@ -372,26 +372,29 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
     assert pre_half is None or kind == "fwd"
 
     def _static_shift(v, j, inverse: bool):
-        # v: (nb, nblk, m, hb, L) -- apply the stage twiddle as a python-
-        # unrolled loop of STATIC shift_mod slices (static roll + static bit
-        # shift, zero selects).  factorize: e = qm * h*steps[j] (qm axis
-        # only); else (static_hpos) e = (qm*h + r)*steps[j] over both axes.
+        # v: (nb, nblk, m, hb, L) -- apply the stage twiddle as python-
+        # unrolled STATIC shift_mod slices (static roll + static bit shift,
+        # zero selects).  factorize: e = qm * h*steps[j] (qm axis only);
+        # else (static_hpos) e = (qm*h + r)*steps[j], decomposed into TWO
+        # sequential single-axis passes (m + hb slices, not m*hb).
         m = v.shape[2]
         sgn = -1 if inverse else 1
-        cols = []
-        for qm in range(m):
-            sl = v[:, :, qm:qm + 1]
-            if factorize:
-                e = (sgn * qm * h * steps[j]) % (2 * W)
-                cols.append(shift_mod(sl, e, W))
-            else:
-                rows = []
-                for r in range(hb):
-                    e = (sgn * (qm * h + r) * steps[j]) % (2 * W)
-                    rows.append(shift_mod(sl[:, :, :, r:r + 1], e, W))
-                cols.append(rows[0] if hb == 1
-                            else jnp.concatenate(rows, axis=3))
-        return cols[0] if m == 1 else jnp.concatenate(cols, axis=2)
+
+        def pass_axis(x, axis, count, mult):
+            if count == 1 or mult % (2 * W) == 0:
+                return x
+            sls = []
+            for i in range(count):
+                idx = [slice(None)] * 5
+                idx[axis] = slice(i, i + 1)
+                e = (sgn * i * mult) % (2 * W)
+                sls.append(shift_mod(x[tuple(idx)], e, W))
+            return jnp.concatenate(sls, axis=axis)
+
+        x = pass_axis(v, 2, m, h * steps[j])
+        if not factorize:
+            x = pass_axis(x, 3, hb, steps[j])
+        return x
 
     def kernel(*refs):
         x = refs[0][...]
@@ -415,9 +418,8 @@ def fused_butterfly_ladder(kind: str, xp, steps: tuple, W: int, pe=None,
                 if has_pe and j == k - 1:   # m == 1, hb == 1
                     pes = pe_blk[:, :, 0].reshape(nb, K // 2, 1, 1, 1)
                     pet = pe_blk[:, :, 1].reshape(nb, K // 2, 1, 1, 1)
-                unroll = pes is None and pet is None and (
-                    m <= _UNROLL_MAX if factorize
-                    else (static_hpos and m * hb <= _UNROLL_MAX))
+                unroll = (pes is None and pet is None and m <= _UNROLL_MAX
+                          and (factorize or static_hpos))
                 if unroll:
                     # static exponents: unrolled static shifts, no barrel
                     global _UNROLLED_STAGES

@@ -339,8 +339,12 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
     rows_done=True: positions < trunc already went through ifft_mfa_rows
     (root w * n2) -- the pointwise-fused combined variant.
     norm_div > 0: fold the drivers' divide-by-2^norm_div + normmod tail
-    into the inverse (flat full-length dispatch only; other paths must
-    pass 0 and normalize separately)."""
+    into the inverse's last pass over each position (flat dispatch: the
+    top-merge kernel; MFA dispatch: the sqrt2 top merge / an appended
+    in-program normalize -- either way no separate normalize program).
+    Positions >= trunc are garbage in all paths and exempt."""
+    from .limb import normmod_div
+
     C4 = v.shape[-2]
     h = C4 // 2
     n2 = h // n1
@@ -355,16 +359,19 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
 
         skip = inner_group(h) if rows_done else 0
         return ifft_sqrt2(v, w, W, skip_inner=skip, norm_div=norm_div)
-    assert norm_div == 0, "norm_div fusion is flat-dispatch only"
+
+    def nd(x):
+        return normmod_div(x, norm_div, W) if norm_div else x
+
     if w % 2 == 0:
         out = mfa_ifft_trunc(_as2d(v, 2 * n2, n1), w // 2, W, n1, 2 * n2,
                              trunc // n1, con=con, rows_done=rows_done)
-        return _flat(out)
+        return nd(_flat(out))
     if trunc <= h:
         left = mfa_ifft_trunc(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
                               trunc // n1, con=con, rows_done=rows_done)
         left = _flat(left)
-        return _cat(carry_pass(left + left), v[..., h:, :])
+        return _cat(nd(carry_pass(left + left)), v[..., h:, :])
     k = trunc - h
     e2 = np.arange(h, dtype=np.int64) * w
     sL = _flat(ifft_radix2_mfa(_as2d(v[..., :h, :], n2, n1), w, W, n1, n2,
@@ -378,6 +385,9 @@ def mfa_ifft_trunc_sqrt2(v, w: int, W: int, n1: int, trunc: int, con=None,
     oR = _flat(mfa_ifft_trunc(_as2d(vr, n2, n1), w, W, n1, n2, k // n1,
                               no_zero_tail=True, con=con,
                               rows_done=rows_done))
-    xa, xb = _sqrt2_top_inv(sL[..., :k, :], oR[..., :k, :], k, w, W)
-    mid = carry_pass(sL[..., k:, :] + sL[..., k:, :])
+    xa, xb = _sqrt2_top_inv(sL[..., :k, :], oR[..., :k, :], k, w, W,
+                            norm_div=norm_div)
+    mid = sL[..., k:, :]
+    if mid.shape[-2]:
+        mid = nd(carry_pass(mid + mid))
     return _cat(xa, mid, xb, v[..., trunc:, :])

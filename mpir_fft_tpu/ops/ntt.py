@@ -426,6 +426,10 @@ import contextvars
 # leg separately.
 _GARNER_POST = contextvars.ContextVar("mpir_fft_garner_post", default=None)
 
+# diagnostic: Garner kernels that consumed a garner_post body since import
+# (tests pin that a pipeline's pointwise actually fused its inverse leg)
+_GARNER_FUSED_CALLS = 0
+
 
 @contextlib.contextmanager
 def garner_post(M: int, K: int, body):
@@ -475,6 +479,8 @@ def _garner_carry(parts, primes) -> jax.Array:
                     r -= rowq
                 if r >= rowq:
                     post, cell["consumed"], fudge, rbq = body, True, 24, r
+                    global _GARNER_FUSED_CALLS
+                    _GARNER_FUSED_CALLS += 1
             rb = rbq if post is not None else _pick_row_block(
                 B, VMEM_SCOPED_LIMIT // (fudge * M * x.dtype.itemsize))
 

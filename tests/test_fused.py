@@ -87,10 +87,13 @@ def test_ladder_factorized_group_twiddle_matches_plain(rng):
     old = fused.MAX_FUSED_L
     fused.MAX_FUSED_L = 16
     try:
-        C, L = 1024, 64
-        W = 16 * L            # 1024 bits
-        w = 2 * W // (2 * C)  # = 1: first-group steps 1..16, all sub-digit
-        x = _rand(rng, (2, C, L))
+        # C/L sized so the small-step ladder group of BOTH directions has
+        # h > hb (hb caps at the VMEM row budget): grid-dependent hpos, so
+        # the static-unroll path cannot serve it and factorization wins
+        C, L = 4096, 256
+        W = 16 * L            # 4096 bits
+        w = 2 * W // (2 * C)  # = 1: small-step groups all sub-digit
+        x = _rand(rng, (1, C, L))
         plain = fft_radix2(jnp.asarray(x), w, W)
         before = fused._FACTORIZED_CALLS
         with force_pallas(True):

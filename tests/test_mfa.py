@@ -215,3 +215,49 @@ def test_sharded_staged_flagship_pallas_kernels():
     mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
     with force_pallas(True):
         sharded_staged_mul_step(mesh, bits=1 << 14)
+
+
+def test_sharded_staged_garner_fusion_engages():
+    """The sharded staged pipeline's two single-chip fusions (round-4):
+    the Garner-fused inverse row leg must actually CONSUME inside the
+    shard_map'd pointwise (counter check -- an NTT-served pow2-L plan with
+    the spectrum row count divisible into whole per-device row-IFFT
+    groups), and the norm_div tail rides the inverse program.  Bit-exact
+    mul and sqr."""
+    import mpir_fft_tpu.models.mul as M
+    from mpir_fft_tpu.ops import ntt
+    from mpir_fft_tpu.ops.fused import force_pallas
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
+    from mpir_fft_tpu.parallel.mfa_sharded import sharded_mul_fn
+    from mpir_fft_tpu.utils.params import MulPlan, cdiv, validate
+
+    devs = jax.devices()
+    mesh = Mesh(np.array(devs[:8]), axis_names=("cols",))
+    # hand-built plan: W = 2048 -> L = 128 (pow2, NTT-served, and wide
+    # enough for the fused Garner row kernel's L >= 128 gate); j1 = j2 = 64
+    # -> trunc_mfa = 128 rows, so per-device blocks are whole n1 = 8 row
+    # groups (the sharded-pointwise gate)
+    bits = 64 * 992
+    plan = validate(MulPlan(6, 32, 992, 64, 64, bits, bits, True))
+    assert plan.trunc_mfa % (8 * plan.n1) == 0
+    rng = np.random.default_rng(4)
+    a = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    b = int.from_bytes(rng.bytes(bits // 8), "little") | 1
+    da = jnp.asarray(digits_from_int(a, cdiv(bits, DIGIT_BITS)))
+    db = jnp.asarray(digits_from_int(b, cdiv(bits, DIGIT_BITS)))
+    old = M._STAGED_THRESHOLD_ELEMS
+    M._STAGED_THRESHOLD_ELEMS = 0
+    M._staged_flagship.cache_clear()
+    try:
+        before = ntt._GARNER_FUSED_CALLS
+        with force_pallas(True):
+            fn = sharded_mul_fn(mesh, plan, "flagship")
+            got = int_from_digits(np.asarray(fn(da, db)))
+            got_sq = int_from_digits(np.asarray(fn(da)))
+        assert ntt._GARNER_FUSED_CALLS > before, \
+            "Garner-fused inverse leg did not engage in the sharded pointwise"
+        assert got == a * b, "sharded staged mul mismatch"
+        assert got_sq == a * a, "sharded staged sqr mismatch"
+    finally:
+        M._STAGED_THRESHOLD_ELEMS = old
+        M._staged_flagship.cache_clear()
