@@ -74,9 +74,11 @@ def _pointwise(fa, fb, W: int, recursive: bool):
     return mulmod_base(fa, fb, canonical=False)
 
 
-def _finish(c, plan: MulPlan, valid: int, con=None):
+def _finish(c, plan: MulPlan, valid: int, con=None, norm_done: bool = False):
     """Scale by 2^-lg_conv, canonicalize, and combine the first `valid`
     coefficients (ref scale + FFT_combine_bits, mul_fft.c:3658-3665).
+    `norm_done`: the inverse already folded the scale+normalize tail
+    (norm_div in its last per-position pass) -- skip straight to combine.
     With a sharding constrainer, row-kernel auto-fusion is disabled (a
     top-level pallas_call under the SPMD partitioner would replicate;
     only the shard_map'd transform passes keep their kernels)."""
@@ -84,9 +86,10 @@ def _finish(c, plan: MulPlan, valid: int, con=None):
         from mpir_fft_tpu.ops.transforms import no_auto_fuse
 
         with no_auto_fuse():
-            return _finish(c, plan, valid)
+            return _finish(c, plan, valid, norm_done=norm_done)
     W = plan.W
-    c = normmod_div(c, plan.lg_conv, W)
+    if not norm_done:
+        c = normmod_div(c, plan.lg_conv, W)
     return fft_combine_bits(c[..., :valid, :], plan.bits1, out_len_digits(plan))
 
 
@@ -220,8 +223,9 @@ def mpn_mul_flagship(a, b, plan: MulPlan, constrain=None, recursive: bool = True
         fb = mfa_fft_trunc_sqrt2(ib, plan.w, W, n1, t, con=constrain)
     prod = _pointwise(fa[..., :t, :], fb[..., :t, :], W, recursive)
     prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
-    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)
-    return _finish(c, plan, t, con=constrain)
+    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain,
+                             norm_div=plan.lg_conv)
+    return _finish(c, plan, t, con=constrain, norm_done=True)
 
 
 def mpn_sqr_flagship(a, plan: MulPlan, constrain=None, recursive: bool = True):
@@ -236,8 +240,9 @@ def mpn_sqr_flagship(a, plan: MulPlan, constrain=None, recursive: bool = True):
     fh = mfa_fft_trunc_sqrt2(ia, plan.w, W, n1, t, con=constrain)[..., :t, :]
     prod = _pointwise(fh, fh, W, recursive)
     prod = jnp.concatenate([prod, jnp.zeros_like(ia[..., t:, :])], axis=-2)
-    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain)
-    return _finish(c, plan, t, con=constrain)
+    c = mfa_ifft_trunc_sqrt2(prod, plan.w, W, n1, t, con=constrain,
+                             norm_div=plan.lg_conv)
+    return _finish(c, plan, t, con=constrain, norm_done=True)
 
 
 # ---------------------------------------------------------------------------

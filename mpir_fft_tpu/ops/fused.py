@@ -47,12 +47,12 @@ STAGE_FUDGE = int(os.environ.get("MPIR_FFT_STAGE_FUDGE", "14"))
 # how many consecutive butterfly stages one ladder kernel fuses (the classic
 # multi-stage FFT ladder): 2^LADDER positions stay VMEM-resident through
 # LADDER stages, cutting the transform's HBM round trips by that factor at
-# rings wider than MAX_FUSED_L.  Measured at the 10^9-bit shape (L=2048,
-# 256-point row/col transforms): 3 -> 19.3/37.3 ms, 4 -> 13.8/34.3,
-# 5 -> 11.8/32.5 (rows/cols per quarter-slab), 6 regresses (blocks too
-# small); deferring the butterfly carry sweeps to one whole-block pass per
-# group (butterfly carry=False) is what freed the VMEM for 5.
-LADDER = int(os.environ.get("MPIR_FFT_LADDER", "5"))
+# rings wider than MAX_FUSED_L.  Re-measured round 4 with static-unrolled
+# twiddles at the 10^9-bit flat shape (C=65536, L=2048, fft+ifft pair):
+# 3 -> 20.7 ms, 4 -> 14.7 ms, 5 -> 18.0 ms, 6 -> Mosaic scoped-vmem OOM --
+# with barrels gone, smaller groups win (bigger hb/nb blocks beat deeper
+# HBM-trip savings).  Round-3 (barrel twiddles) measured 5 best.
+LADDER = int(os.environ.get("MPIR_FFT_LADDER", "4"))
 
 # diagnostics: ladder calls that took the twiddle-factorize branch, and
 # ladder stages that applied their twiddles as static-unrolled shifts,

@@ -114,15 +114,15 @@ def _stage_fns(plan, driver: str):
             return inner(prod) if staged else prod
 
         def inv_t(prod):
+            # norm_div folds on all dispatch paths (models.mul round 4)
             pad = jnp.zeros(prod.shape[:-2] + (C - t, prod.shape[-1]), prod.dtype)
             c = mfa_ifft_trunc_sqrt2(
                 jnp.concatenate([prod, pad], axis=-2) if C > t else prod,
                 plan.w, W, n1, t, rows_done=staged,
-                norm_div=plan.lg_conv if flat else 0)
+                norm_div=plan.lg_conv)
             return c[..., :t, :]
 
-        norm_t = None if flat else (
-            lambda c: normmod_div(c, plan.lg_conv, W))
+        norm_t = None
         valid = t
     elif driver in ("mfa", "mfa_trunc"):
         from mpir_fft_tpu.ops.mfa import (fft_radix2_mfa, ifft_radix2_mfa,
