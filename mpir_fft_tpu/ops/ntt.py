@@ -332,25 +332,34 @@ def _to_planes(x: jax.Array, p: int, k: int) -> jax.Array:
     return jnp.concatenate(planes, axis=-1).astype(jnp.int8)
 
 
-def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int,
-                 out: str = "center") -> jax.Array:
-    """[..., kM] int8 planes @ [kM, kM] int8 block -> values mod p [..., M],
-    exact 'center' (default) or 'nonneg' (the pre-Garner application).
-    Folds S = [S0|..|S_{k-1}] high-to-low: v = S0 + 256(S1 + 256(S2 ...));
-    every intermediate stays int32-exact (|S_j| <= kM*127^2 < 2^28.6, each
-    loose fold term adds (2p << 8) < 2^26.4)."""
-    S = jax.lax.dot_general(
+def _dot_raw(planes: jax.Array, blk) -> jax.Array:
+    """[..., kM] int8 planes @ [kM, kM] int8 block -> raw int32 plane sums
+    [..., kM] (exact: |S_j| <= kM*127^2 < 2^28.6)."""
+    return jax.lax.dot_general(
         planes,
         jnp.asarray(blk),
         (((planes.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+
+
+def _fold_S(S: jax.Array, p: int, k: int, out: str = "center") -> jax.Array:
+    """Fold raw plane sums S = [S0|..|S_{k-1}] high-to-low into values mod p
+    [..., M]: v = S0 + 256(S1 + 256(S2 ...)); every intermediate stays
+    int32-exact (each loose fold term adds (2p << 8) < 2^26.4)."""
     M = S.shape[-1] // k
     acc = _red_loose(S[..., (k - 1) * M :], p)
     for j in range(k - 2, -1, -1):
         v = S[..., j * M : (j + 1) * M] + (acc << 8)
         acc = _red_loose(v, p) if j else _RED[out](v, p)
     return acc
+
+
+def _apply_block(planes: jax.Array, blk: np.ndarray, p: int, k: int,
+                 out: str = "center") -> jax.Array:
+    """[..., kM] int8 planes @ [kM, kM] int8 block -> values mod p [..., M],
+    exact 'center' (default) or 'nonneg' (the pre-Garner application)."""
+    return _fold_S(_dot_raw(planes, blk), p, k, out)
 
 
 def _nega_roll_digits(v: jax.Array, k: int) -> jax.Array:
@@ -444,14 +453,20 @@ def garner_post(M: int, K: int, body):
         _GARNER_POST.reset(tok)
 
 
-def _garner_carry(parts, primes) -> jax.Array:
+def _garner_carry(parts, primes, raw_k: int | None = None) -> jax.Array:
     """carry_pass(_garner_to_digits(parts, primes)), fused into ONE Pallas
     row-block kernel when enabled: the ~30 elementwise links of the Garner
     spread otherwise cost several whole-batch HBM passes (measured 11 ms ->
     5.4 ms per 16384x2048 pointwise chunk; ~45 ms of the 10^9-bit multiply).
-    A matching garner_post body is applied in the same kernel."""
+    A matching garner_post body is applied in the same kernel.
+
+    raw_k: parts are RAW [..., kM] inverse-GEMM plane sums; the nonneg fold
+    happens in-kernel too, saving the per-prime fold's whole-batch HBM
+    round trip (dense-tier link fusion)."""
     x = parts[0]
-    if x.ndim >= 2 and x.shape[-1] >= 128:
+    kk = raw_k or 1
+    M = x.shape[-1] // kk
+    if x.ndim >= 2 and M >= 128:
         from .fused import VMEM_SCOPED_LIMIT, _interpret, _pick_row_block, use_pallas
         from .transforms import _NO_FUSE
 
@@ -463,46 +478,55 @@ def _garner_carry(parts, primes) -> jax.Array:
 
             from .transforms import no_auto_fuse
 
-            M = x.shape[-1]
             lead = x.shape[:-1]
             B = math.prod(lead)
-            flats = [p.reshape(B, M) for p in parts]
+            flats = [p.reshape(B, kk * M) for p in parts]
             hook = _GARNER_POST.get()
             post = None
-            fudge = 16
+            fudge = 16 + 12 * (kk - 1)
             if hook is not None and hook[0] == M and B % hook[1] == 0:
                 _, rowq, body, cell = hook
                 # row blocks must hold whole K-groups of the inverse leg
-                r = _pick_row_block(B, VMEM_SCOPED_LIMIT // (24 * M * x.dtype.itemsize))
+                fudge = 24 + 12 * (kk - 1)
+                r = _pick_row_block(B, VMEM_SCOPED_LIMIT // (fudge * M * x.dtype.itemsize))
                 r -= r % rowq
                 while r >= rowq and B % r:
                     r -= rowq
                 if r >= rowq:
-                    post, cell["consumed"], fudge, rbq = body, True, 24, r
+                    post, cell["consumed"], rbq = body, True, r
                     global _GARNER_FUSED_CALLS
                     _GARNER_FUSED_CALLS += 1
             rb = rbq if post is not None else _pick_row_block(
                 B, VMEM_SCOPED_LIMIT // (fudge * M * x.dtype.itemsize))
 
             def kernel(*refs):
-                rs = tuple(r[...] for r in refs[:-1])
+                if raw_k is None:
+                    rs = tuple(r[...] for r in refs[:-1])
+                else:
+                    rs = tuple(_fold_S(r[...], p, raw_k, out="nonneg")
+                               for r, p in zip(refs[:-1], primes))
                 d = carry_pass(_garner_to_digits(rs, primes))
                 if post is not None:
                     with no_auto_fuse():
                         d = post(d)
                 refs[-1][...] = d
 
+            spec_in = pl.BlockSpec((rb, kk * M), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)
             spec = pl.BlockSpec((rb, M), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
             out = pl.pallas_call(
                 kernel,
                 grid=(B // rb,),
                 out_shape=jax.ShapeDtypeStruct((B, M), x.dtype),
-                in_specs=[spec] * len(parts),
+                in_specs=[spec_in] * len(parts),
                 out_specs=spec,
                 interpret=_interpret(),
             )(*flats)
-            return out.reshape(x.shape)
+            return out.reshape(x.shape[:-1] + (M,))
+    if raw_k is not None:
+        parts = [_fold_S(r, p, raw_k, out="nonneg")
+                 for r, p in zip(parts, primes)]
     return carry_pass(_garner_to_digits(parts, primes))
 
 
@@ -631,6 +655,98 @@ def _balanced_pass(x: jax.Array) -> jax.Array:
     return r + _wrap_inject(m)
 
 
+# ---------------------------------------------------------------------------
+# Dense-tier link kernels: the elementwise chains BETWEEN the plane-block
+# GEMMs (balanced pass + plane conversion; fold/pointwise/replane) each cost
+# whole-batch HBM round trips when left to XLA -- measured ~18 ms of the
+# 28.9 ms per [16384, 2048] pointwise chunk at 10^9 bits while the 9 GEMMs
+# cost ~11 ms.  Each link here runs as ONE Pallas row-block pass: inputs make
+# one HBM read, outputs (int8 planes -- a quarter the bytes) one write.
+# ---------------------------------------------------------------------------
+
+def _links_on(B: int, M: int) -> bool:
+    from .fused import use_pallas
+    from .transforms import _NO_FUSE
+
+    return (use_pallas() and not _NO_FUSE.get()
+            and B % 32 == 0 and M % 128 == 0)
+
+
+def _link_rb(B: int, M: int, fudge: int) -> int:
+    """Row block for link kernels: like _pick_row_block but a multiple of 32
+    (the int8 output tile's sublane count)."""
+    from .fused import VMEM_SCOPED_LIMIT
+
+    rb = min(B, max(32, (VMEM_SCOPED_LIMIT // (fudge * 4 * M) // 32) * 32))
+    rb -= rb % 32
+    while rb >= 32:
+        if B % rb == 0:
+            return rb
+        rb -= 32
+    return B
+
+
+def _input_planes(x: jax.Array, mats) -> list[jax.Array]:
+    """Balanced carry pass + per-prime centered plane conversion in one HBM
+    round trip: [B, M] int32 digits -> one [B, kM] int8 plane tensor per
+    prime (the forward GEMMs' inputs)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused import _interpret
+
+    B, M = x.shape
+    k = mats[0]["k"]
+
+    def kernel(x_ref, *o_refs):
+        xb = _balanced_pass(x_ref[...])
+        for mat, o in zip(mats, o_refs):
+            o[...] = _to_planes(xb, mat["p"], k)
+
+    rb = _link_rb(B, M, 8 + 3 * k)
+    spec_in = pl.BlockSpec((rb, M), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((rb, k * M), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return list(pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, k * M), jnp.int8) for _ in mats),
+        in_specs=[spec_in],
+        out_specs=(spec_out,) * len(mats),
+        interpret=_interpret(),
+    )(x))
+
+
+def _mid_planes(Sa: jax.Array, Sb: jax.Array, p: int, k: int) -> jax.Array:
+    """Fold both forward GEMM outputs, pointwise-multiply mod p, and replane
+    for the inverse GEMM, in one HBM round trip: 2x [B, kM] raw int32 plane
+    sums -> [B, kM] int8 planes of (fa * fb) mod p."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused import _interpret
+
+    B, kM = Sa.shape
+    M = kM // k
+
+    def kernel(a_ref, b_ref, o_ref):
+        fa = _fold_S(a_ref[...], p, k)
+        fb = _fold_S(b_ref[...], p, k)
+        o_ref[...] = _to_planes(_modmul(fa, fb, p, out="loose"), p, k)
+
+    rb = _link_rb(B, kM, 14)
+    spec = pl.BlockSpec((rb, kM), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=jax.ShapeDtypeStruct((B, kM), jnp.int8),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=_interpret(),
+    )(Sa, Sb)
+
+
 def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
     """Digits [..., M] (any int32 magnitude) -> permuted spectrum
     [..., m1, m2] of the psi-weighted (negacyclic) sequence, values in
@@ -683,12 +799,32 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
     if pair_supported(M) and os.environ.get("MPIR_FFT_NTT_PAIR", "0") == "1":
         d = _mulmod_ntt_pair(a, b)
         return normmod(d) if canonical else d
-    a = _balanced_pass(a)
-    b = _balanced_pass(b)
-    parts = []
     if M <= TIER1_MAX_M:
         # dense single-matmul transforms: best MXU shape at moderate M
         mats = _matrices(M)
+        lead = a.shape[:-1]
+        import math
+
+        B = math.prod(lead) if lead else 1
+        if _links_on(B, M):
+            # link-fused flow: every elementwise chain between the GEMMs is
+            # one Pallas row-block pass, and the inverse folds run inside
+            # the Garner kernel (raw_k)
+            k = mats[0]["k"]
+            pa = _input_planes(a.reshape(B, M), mats)
+            pb = _input_planes(b.reshape(B, M), mats)
+            parts = []
+            for i, mat in enumerate(mats):
+                Sa = _dot_raw(pa[i], mat["F"])
+                Sb = _dot_raw(pb[i], mat["F"])
+                pp = _mid_planes(Sa, Sb, mat["p"], k)
+                parts.append(_dot_raw(pp, mat["G"]).reshape(lead + (k * M,)))
+            primes = tuple(mat["p"] for mat in mats)
+            d = _garner_carry(parts, primes, raw_k=k)
+            return normmod(d) if canonical else d
+        a = _balanced_pass(a)
+        b = _balanced_pass(b)
+        parts = []
         for mat in mats:
             p, k = mat["p"], mat["k"]
             fa = _apply_block(_to_planes(a, p, k), mat["F"], p, k)
@@ -699,7 +835,10 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
             )
     else:
         # 4-step transforms: O(M^1.5) matmul work, kilobyte-scale matrices
+        a = _balanced_pass(a)
+        b = _balanced_pass(b)
         mats = _ntt4_mats(M)
+        parts = []
         for mat in mats:
             p = mat["p"]
             fa = _ntt4_fwd(a, mat)
