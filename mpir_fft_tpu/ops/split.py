@@ -143,24 +143,49 @@ def fft_combine_bits(c, bits: int, Lout: int):
         nseg = -(-L // d)
         lead = c.shape[:-2]
         rows = C + nseg
-        # one fused SUM of row-shifted terms, not a chain of .at[].add
-        # updates: the updates serialize as read-modify-writes of the whole
-        # ~0.5 GB grid (3x its traffic at the 10^9-bit shape); the sum is a
-        # single pass reading each c column window once (digit bound
-        # nseg * 2^16 <= 2^18, inside canonicalize_plain's domain)
-        terms = []
+        segs = []
         for s in range(nseg):
             w = min(d, L - s * d)
             seg = c[..., s * d : s * d + w]
             if w < d:
                 seg = jnp.concatenate(
                     [seg, jnp.zeros(lead + (C, d - w), c.dtype)], axis=-1)
-            terms.append(jnp.concatenate([
-                jnp.zeros(lead + (s, d), c.dtype), seg,
-                jnp.zeros(lead + (nseg - s, d), c.dtype)], axis=-2))
-        out = terms[0]
-        for t in terms[1:]:
-            out = out + t
+            segs.append(seg)
+        if C > nseg:
+            # grid row g = sum_s segs[s][g-s]: the interior rows are ONE
+            # elementwise add of nseg row-shifted SLICES (no zero-padded
+            # full-height terms -- those materialize ~nseg extra copies of
+            # the 0.5 GB grid; the slice formulation reads each c column
+            # window once and writes the grid once).  The <= nseg-1 partial
+            # head/tail rows are assembled separately (tiny).
+            body = segs[0][..., nseg - 1 :, :]
+            for s in range(1, nseg):
+                body = body + segs[s][..., nseg - 1 - s : C - s, :]
+            parts = []
+            for g in range(nseg - 1):                    # head rows 0..nseg-2
+                acc = segs[0][..., g, :]
+                for s in range(1, g + 1):
+                    acc = acc + segs[s][..., g - s, :]
+                parts.append(acc[..., None, :])
+            parts.append(body)
+            for g in range(C, C + nseg):                 # tail rows C..C+nseg-1
+                acc = None
+                for s in range(max(1, g - C + 1), nseg):
+                    t = segs[s][..., g - s, :]
+                    acc = t if acc is None else acc + t
+                if acc is None:
+                    acc = jnp.zeros(lead + (d,), c.dtype)
+                parts.append(acc[..., None, :])
+            out = jnp.concatenate(parts, axis=-2)
+        else:
+            terms = []
+            for s in range(nseg):
+                terms.append(jnp.concatenate([
+                    jnp.zeros(lead + (s, d), c.dtype), segs[s],
+                    jnp.zeros(lead + (nseg - s, d), c.dtype)], axis=-2))
+            out = terms[0]
+            for t in terms[1:]:
+                out = out + t
         flat = out.reshape(lead + (rows * d,))
         if rows * d < Lout:
             flat = jnp.concatenate(
