@@ -113,6 +113,47 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _log_hbm(tag):
+    try:
+        import jax
+
+        ms = jax.devices()[0].memory_stats() or {}
+        log(f"bench: hbm {tag}: {ms.get('bytes_in_use', 0) / 2**30:.2f} GiB in use"
+            f" / {ms.get('bytes_limit', 0) / 2**30:.2f} GiB")
+    except Exception:
+        pass
+
+
+def _fetch_host(out, max_bytes=1 << 27):
+    """Device array -> numpy, transferring at most max_bytes per fetch (one
+    whole-array fetch of a multi-GB product exhausts the remote backend).
+    Slicing uses ONE jitted dynamic-slice program (static per-slice indices
+    would recompile per slice -- ~1 min each over the tunnel)."""
+    if out.nbytes <= max_bytes:
+        return np.asarray(out)
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    n = out.shape[-1]
+    step = max(1, max_bytes // max(1, out.nbytes // n))
+    step = min(step, n)
+
+    @functools.partial(jax.jit, static_argnums=())
+    def slice_at(x, start):
+        return jax.lax.dynamic_slice_in_dim(x, start, step, axis=x.ndim - 1)
+
+    parts = []
+    for s in range(0, n - step + 1, step):
+        parts.append(np.asarray(slice_at(out, jnp.int32(s))))
+    done = len(parts) * step
+    if done < n:  # ragged tail: one extra fixed-size slice, overlap-trimmed
+        tail = np.asarray(slice_at(out, jnp.int32(n - step)))
+        parts.append(tail[..., done - (n - step):])
+    return np.concatenate(parts, axis=-1)
+
+
 def _production_plan(bits_a, bits_b, driver, depth=None):
     """The plan production mul() would pick for this size (tuning cache
     first, analytic fallback -- models.mul._select_plan), plus where it
@@ -182,11 +223,21 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     log(f"bench: plan depth={plan.depth} w={plan.w} sqrt2={plan.sqrt2}; compiling")
     out = fn(da, db)
     out.block_until_ready()              # compile + warm
+    _log_hbm("after first run")
     # pull the exactness-check product to host NOW and free its device copy:
     # at >10^9 bits it is a multi-GB buffer that would otherwise sit in HBM
-    # through every timed pipeline run (OOMs the 4x10^9-bit out-of-core run)
-    out_host = np.asarray(out)
+    # through every timed pipeline run (OOMs the 4x10^9-bit out-of-core run).
+    # Fetch in slices (one multi-GB transfer exhausts the remote backend),
+    # and at out-of-core sizes free the operands around the fetch -- the
+    # slice staging needs the headroom
+    if bits > 2_000_000_000:
+        del da, db
+    out_host = _fetch_host(out)
     del out
+    if bits > 2_000_000_000:
+        da = jnp.asarray(digits_from_int(a, L))
+        db = jnp.asarray(digits_from_int(b, L))
+    _log_hbm("after fetch")
     log("bench: compiled; warming")
     # the attached device may load/compile the program server-side on first
     # execution with block_until_ready returning early; force full

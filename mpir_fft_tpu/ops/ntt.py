@@ -747,6 +747,127 @@ def _mid_planes(Sa: jax.Array, Sb: jax.Array, p: int, k: int) -> jax.Array:
     )(Sa, Sb)
 
 
+# ---------------------------------------------------------------------------
+# 4-step (tier-2) link kernels: same idea at M > TIER1_MAX_M.  The XLA
+# 4-step path pays an HBM round trip for every fold / twiddle / replane /
+# TRANSPOSE between its four dots; here each inter-dot chain is one Pallas
+# pass over [rb, m, km] 3-D row blocks, and the transposes vanish entirely:
+# every dot contracts the axis the planes were laid along (dot_general's
+# free-dim ordering lands the contracted axis last, exactly where the next
+# stage wants it -- the same trick as _fused_mulmod_fn, but with the dots
+# left to XLA's whole-batch GEMMs, which beat in-kernel row-block GEMMs).
+# ---------------------------------------------------------------------------
+
+def _to_planes_ax(x: jax.Array, p: int, k: int, axis: int) -> jax.Array:
+    """_to_planes with the k planes concatenated along `axis` (f32-Barrett
+    centered; any |x| <= 2^29)."""
+    rc = _red_center(x, p)
+    planes = []
+    for _ in range(k - 1):
+        lo = ((rc + 128) & 255) - 128
+        planes.append(lo)
+        rc = (rc - lo) >> 8
+    planes.append(rc)
+    return jnp.concatenate(planes, axis=axis).astype(jnp.int8)
+
+
+def _link3(fn, ins, tables, out_shape, out_dtype, fudge: int):
+    """One Pallas pass of a row-elementwise fn over 3-D [B, d1, d2] blocks
+    (trailing dims whole in VMEM; rows stream).  `tables` are small constant
+    arrays given to the kernel whole (constant index map)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused import _interpret
+
+    B = ins[0].shape[0]
+    rb = _link_rb(B, ins[0].shape[-2] * ins[0].shape[-1], fudge)
+
+    def kernel(*refs):
+        n = len(ins)
+        vals = [r[...] for r in refs[: n + len(tables)]]
+        refs[-1][...] = fn(*vals)
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((rb,) + tuple(shape[1:]),
+                            lambda i, nd=nd: (i,) + (0,) * (nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dtype),
+        in_specs=[spec(x.shape) for x in ins] + [tspec(t) for t in tables],
+        out_specs=spec(out_shape),
+        interpret=_interpret(),
+    )(*ins, *tables)
+
+
+def _dot_ax(planes: jax.Array, blk, axis: int) -> jax.Array:
+    """Contract `axis` of the int8 plane tensor against plane block axis 0;
+    the contracted axis lands LAST in the output (int32, raw plane sums)."""
+    ax = axis % planes.ndim
+    return jax.lax.dot_general(
+        planes, jnp.asarray(blk), (((ax,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def _ntt4_linked_parts(a3: jax.Array, b3: jax.Array, mat: dict) -> jax.Array:
+    """One prime's full 4-step negacyclic product through link kernels:
+    [B, m1, m2] digit grids (int32, |digit| <= 2^29) -> [B, m2, m1] residue
+    values in [0, p) (i2, i1 PERMUTED layout; caller transposes).  Four XLA
+    whole-batch plane GEMMs; every inter-dot chain is one Pallas pass and no
+    explicit transpose exists anywhere (contraction-order layouts)."""
+    p, k = mat["p"], mat["k"]
+    B, m1, m2 = a3.shape
+    Wt2 = jnp.asarray(mat["Wt"].reshape(m1, m2))
+    WtiT = jnp.asarray(np.ascontiguousarray(mat["Wti"].reshape(m1, m2).T))
+    T = jnp.asarray(mat["T"])                    # [m2(i2), m1(k1)]
+    Ti = jnp.asarray(mat["Ti"])                  # [m1(k1), m2(i2)]
+
+    def k_in(x, wt):
+        x = _balanced_pass3(x)                   # digits -> ~[-2^15, 2^15]
+        return _to_planes_ax(
+            _modmul(_red_center(x, p), wt, p, out="loose"), p, k, -2)
+
+    def k_mid1(S, t):
+        v = _fold_S(S, p, k, out="loose")        # [rb, m2, m1]
+        return _to_planes_ax(_modmul(v, t, p, out="loose"), p, k, -2)
+
+    def k_pw(Sa, Sb):
+        fa = _fold_S(Sa, p, k, out="loose")      # [rb, k1, k2]
+        fb = _fold_S(Sb, p, k, out="loose")
+        return _to_planes_ax(_modmul(fa, fb, p, out="loose"), p, k, -1)
+
+    def k_mid3(S, t):
+        v = _fold_S(S, p, k, out="loose")        # [rb, k1, i2]
+        return _to_planes_ax(_modmul(v, t, p, out="loose"), p, k, -2)
+
+    def k_out(S, wt):
+        v = _fold_S(S, p, k, out="loose")        # [rb, i2, i1]
+        return _modmul(v, wt, p, out="nonneg")
+
+    def fwd(x3):
+        pl1 = _link3(k_in, (x3,), (Wt2,), (B, k * m1, m2), jnp.int8, 10)
+        S1 = _dot_ax(pl1, mat["F1"], -2)         # [B, m2, km1]
+        pl2 = _link3(k_mid1, (S1,), (T,), (B, k * m2, m1), jnp.int8, 10)
+        return _dot_ax(pl2, mat["F2"], -2)       # [B, m1, km2]
+
+    Sa, Sb = fwd(a3), fwd(b3)
+    pp = _link3(k_pw, (Sa, Sb), (), (B, m1, k * m2), jnp.int8, 12)
+    S3 = _dot_ax(pp, mat["G2"], -1)              # [B, m1, km2] (k1, i2)
+    pl4 = _link3(k_mid3, (S3,), (Ti,), (B, k * m1, m2), jnp.int8, 10)
+    S4 = _dot_ax(pl4, mat["G1"], -2)             # [B, m2, km1] (i2, i1)
+    return _link3(k_out, (S4,), (WtiT,), (B, m2, m1), jnp.int32, 10)
+
+
 def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
     """Digits [..., M] (any int32 magnitude) -> permuted spectrum
     [..., m1, m2] of the psi-weighted (negacyclic) sequence, values in
@@ -835,9 +956,25 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
             )
     else:
         # 4-step transforms: O(M^1.5) matmul work, kilobyte-scale matrices
+        mats = _ntt4_mats(M)
+        lead = a.shape[:-1]
+        import math
+
+        B = math.prod(lead) if lead else 1
+        if _links_on(B, M):
+            m1, m2 = mats[0]["m1"], mats[0]["m2"]
+            a3 = a.reshape(B, m1, m2)
+            b3 = b.reshape(B, m1, m2)
+            parts = []
+            for mat in mats:
+                V = _ntt4_linked_parts(a3, b3, mat)          # [B, m2, m1]
+                parts.append(
+                    jnp.swapaxes(V, -1, -2).reshape(lead + (M,)))
+            primes = tuple(mat["p"] for mat in mats)
+            d = _garner_carry(parts, primes)
+            return normmod(d) if canonical else d
         a = _balanced_pass(a)
         b = _balanced_pass(b)
-        mats = _ntt4_mats(M)
         parts = []
         for mat in mats:
             p = mat["p"]
