@@ -22,6 +22,7 @@ Usage: bench.py [bits] [reps] [driver] [depth]
        bench.py batch <bits> <k> [reps] [driver]     (throughput mode)
        bench.py sqr <bits> [reps]                    (squaring mode)
        bench.py floor <bits> [reps]                  (dispatch-floor probe)
+       bench.py mulmod <N> [reps]                    (Fermat-ring product)
 (depth forces plan_for_depth at that depth for A/B plan comparisons;
 env BENCH_SIZES="1e6,1e7" overrides the no-arg sweep)
 
@@ -109,6 +110,28 @@ def product_matches(got: int, a: int, b: int, bits: int) -> bool:
     return all(got % p == (a % p) * (b % p) % p for p in _check_primes())
 
 
+def limb_ops(bits_a: int, bits_b: int, wall_s: float, plan=None) -> dict:
+    """The BASELINE.json secondary metric, limb-ops/sec/chip (VERDICT r4
+    missing #2), in two conventions:
+
+    * schoolbook-equivalent: 64-bit-limb MACs the O(n^2) baseline would
+      need for this product, / wall -- the classic 'equivalent throughput'
+      a bignum library quotes (comparable across algorithms).
+    * fft-work: limb-ops the FFT algorithm itself performs with the plan
+      actually run (~3 transforms of conv_len coefficients x (W/64) limbs x
+      lg(conv_len) butterfly levels, plus the pointwise), / wall -- the
+      machine-utilization view.
+    """
+    la, lb = -(-bits_a // 64), -(-bits_b // 64)
+    out = {"schoolbook_limb_ops_per_s": round(la * lb / wall_s, 1)}
+    if plan is not None:
+        limbs = plan.W // 64
+        fft = 3 * plan.conv_len * limbs * plan.lg_conv + \
+            plan.conv_len * limbs * max(1, plan.W.bit_length())
+        out["fft_limb_ops_per_s"] = round(fft / wall_s, 1)
+    return out
+
+
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
@@ -154,22 +177,23 @@ def _fetch_host(out, max_bytes=1 << 27):
     return np.concatenate(parts, axis=-1)
 
 
-def _production_plan(bits_a, bits_b, driver, depth=None):
-    """The plan production mul() would pick for this size (tuning cache
-    first, analytic fallback -- models.mul._select_plan), plus where it
-    came from.  depth forces plan_for_depth (the A/B mode)."""
+def _production_plan(bits_a, bits_b, driver, depth=None, batch=1):
+    """The plan production mul()/mul_many() would pick for this size (tuning
+    cache first, analytic fallback -- models.mul._select_plan), plus where it
+    came from.  depth forces plan_for_depth (the A/B mode); batch > 1
+    consults only batch-class tuning entries, matching mul_many."""
     from mpir_fft_tpu.models.mul import DRIVERS, _select_plan, _tune_enabled
     from mpir_fft_tpu.utils.params import plan_for_depth
 
     sqrt2 = DRIVERS[driver][1]
     if depth is not None:
         return plan_for_depth(bits_a, bits_b, depth, sqrt2=sqrt2), "forced_depth"
-    plan = _select_plan(bits_a, bits_b, driver)
+    plan = _select_plan(bits_a, bits_b, driver, batch=batch)
     source = "analytic"
     if _tune_enabled():
         from mpir_fft_tpu.utils.tune import cached_plan
 
-        if cached_plan(bits_a, bits_b, driver) == plan:
+        if cached_plan(bits_a, bits_b, driver, batch=batch) == plan:
             source = "tuned"
     return plan, source
 
@@ -287,6 +311,7 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
         "driver": driver,
         "plan": {"depth": plan.depth, "w": plan.w, "sqrt2": plan.sqrt2},
         "plan_source": plan_source,
+        **limb_ops(bits, bits, wall, plan),
         "device": str(jax.devices()[0]),
         "reps": reps,
         "sink": sink % 1000,
@@ -461,7 +486,7 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
 
     rng = np.random.default_rng(1)
     pairs = [(rand_bits(rng, bits), rand_bits(rng, bits)) for _ in range(k)]
-    plan, plan_source = _production_plan(bits, bits, driver)
+    plan, plan_source = _production_plan(bits, bits, driver, batch=k)
     assert not (driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan))), \
         "batch mode targets sizes below the staged threshold"
     L = cdiv(bits, DIGIT_BITS)
@@ -520,6 +545,86 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
     }
 
 
+def bench_mulmod(N, reps=None):
+    """Fermat-ring mode (BASELINE config 4): times the user-level
+    (a * b) mod 2^N+1 product (ops.mulmod, the fft_mulmod_2expp1 twin --
+    ref mul_fft.c:3125-3167 and its timing harness time_mul_with_negacyclic,
+    mul_fft.c:4188-4222).  vs_baseline is the host big-int (a*b) %% p."""
+    if reps is None:
+        reps = max(4, min(64, (3 << 28) // max(N, 1)))
+
+    from mpir_fft_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from mpir_fft_tpu.ops.limb import DIGIT_BITS, digits_from_int, int_from_digits
+    from mpir_fft_tpu.ops.mulmod import _jitted_mulmod, mulmod_plan, MULMOD_BASE_MAX_BITS
+    from mpir_fft_tpu.ops.pointwise import base_serves
+
+    assert N % DIGIT_BITS == 0, "N must be a multiple of 16"
+    p = (1 << N) + 1
+    rng = np.random.default_rng(2)
+    a = rand_bits(rng, N) % p
+    b = rand_bits(rng, N) % p
+    L = N // DIGIT_BITS
+    da = jnp.asarray(digits_from_int(a, L))
+    db = jnp.asarray(digits_from_int(b, L))
+    fn = _jitted_mulmod(N, None)
+    plan = None
+    if N > MULMOD_BASE_MAX_BITS or not base_serves(L):
+        plan = mulmod_plan(N)
+    plan_info = ({"path": "fft", "depth": plan.depth, "inner_W": plan.Wp}
+                 if plan is not None else {"path": "base_ntt"})
+
+    # chained step: canonical digits out == canonical digits in (the -1
+    # residue form [-1, 0, ...] is in-domain for the next call)
+    @jax.jit
+    def step(prev, db):
+        return fn(prev, db)
+
+    log(f"bench-mulmod: N={N} {plan_info}; compiling")
+    out_host = np.asarray(fn(da, db))
+    for _ in range(2):
+        _ = int(jnp.sum(step(da, db)))
+
+    log("bench-mulmod: timing")
+    t0 = time.perf_counter()
+    prev = da
+    for _ in range(reps):
+        prev = step(prev, db)
+    sink = int(jnp.sum(prev))
+    wall = (time.perf_counter() - t0) / reps
+
+    log("bench-mulmod: checking exactness")
+    got = int_from_digits(out_host) % p
+    ok = got == (a * b) % p
+
+    log("bench-mulmod: measuring host baseline")
+    t0 = time.perf_counter()
+    host_reps = max(1, min(8, int(0.5 / max(wall, 1e-4))))
+    for _ in range(host_reps):
+        _ = (a * b) % p
+    base_s = (time.perf_counter() - t0) / host_reps
+
+    return {
+        "metric": f"mulmod_2exp{N}p1_walltime",
+        "value": round(wall, 6),
+        "unit": "s",
+        "vs_baseline": round(base_s / wall, 3),
+        "exact": bool(ok),
+        "baseline": {"kind": "cpython_int_mod", "seconds": round(base_s, 6)},
+        "driver": "mulmod_int",
+        "plan": plan_info,
+        **limb_ops(N, N, wall),
+        "device": str(jax.devices()[0]),
+        "reps": reps,
+        "sink": sink % 1000,
+    }
+
+
 DEFAULT_SWEEP = (1_000_000, 10_000_000, 100_000_000, 1_000_000_000)
 
 
@@ -540,6 +645,11 @@ def main():
         bits = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
         reps = int(sys.argv[3]) if len(sys.argv) > 3 else None
         print(json.dumps(bench_floor(bits, reps)))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "mulmod":
+        N = int(sys.argv[2])
+        reps = int(sys.argv[3]) if len(sys.argv) > 3 else None
+        print(json.dumps(bench_mulmod(N, reps)))
         return
     if len(sys.argv) > 1:
         # explicit-size A/B mode: bench.py bits [reps] [driver] [depth]
@@ -580,18 +690,34 @@ def main():
                 sweep.append(bench_sqr(sbits))
             except Exception as e:
                 log(f"bench: sqr datapoint failed: {e!r}")
-    print(
-        json.dumps(
-            {
-                "metric": head["metric"],
-                "value": head["value"],
-                "unit": "s",
-                "vs_baseline": head["vs_baseline"],
-                "exact": all(r["exact"] for r in sweep),
-                "sweep": sweep,
-            }
-        )
-    )
+        # Fermat-ring datapoint (BASELINE config 4)
+        log("bench: === mulmod 2^(2^24)+1 ===")
+        try:
+            sweep.append(bench_mulmod(1 << 24))
+        except Exception as e:
+            log(f"bench: mulmod datapoint failed: {e!r}")
+    result = {
+        "metric": head["metric"],
+        "value": head["value"],
+        "unit": "s",
+        "vs_baseline": head["vs_baseline"],
+        "exact": all(r["exact"] for r in sweep),
+        "sweep": sweep,
+    }
+    # the driver keeps only a ~2 KB stdout tail, which truncates the sweep
+    # JSON (VERDICT r4 weak #4): persist the full result to artifacts/ so
+    # no record depends on stdout
+    try:
+        import os as _os
+
+        art = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                            "artifacts")
+        _os.makedirs(art, exist_ok=True)
+        with open(_os.path.join(art, "BENCH_sweep.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:
+        log(f"bench: could not write artifacts/BENCH_sweep.json: {e!r}")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

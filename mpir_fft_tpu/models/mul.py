@@ -525,17 +525,20 @@ def _tune_enabled() -> bool:
         "0", "off", "false")
 
 
-def _select_plan(bits_a: int, bits_b: int, driver: str) -> "MulPlan":
+def _select_plan(bits_a: int, bits_b: int, driver: str,
+                 batch: int = 1) -> "MulPlan":
     """Production plan choice: a MEASURED tuning-cache entry (utils.tune,
     populated by `cli tune`) wins over the analytic model when one exists
     for this size bucket -- the analytic plan_cost constants are calibrated
     at a handful of points and a mis-priced size would otherwise regress
     silently.  MPIR_FFT_TUNE=0 disables the cache lookup (pure analytic,
-    the A/B control)."""
+    the A/B control).  batch > 1 (mul_many) consults only batch-tuned
+    entries: single-product winners are dispatch-latency plans and measured
+    to lose on batch occupancy (VERDICT r4)."""
     if _tune_enabled():
         from mpir_fft_tpu.utils.tune import cached_plan
 
-        plan = cached_plan(bits_a, bits_b, driver)
+        plan = cached_plan(bits_a, bits_b, driver, batch=batch)
         if plan is not None:
             return plan
     return choose_params(bits_a, bits_b, sqrt2=DRIVERS[driver][1])
@@ -634,7 +637,7 @@ def mul_many(pairs, driver: str = "flagship") -> list[int]:
     bb = max(b.bit_length() for _, b in pairs)
     if ba == 0 or bb == 0 or ba + bb <= _SMALL_THRESHOLD_BITS or len(pairs) == 1:
         return [a * b for a, b in pairs]
-    plan = _select_plan(ba, bb, driver)
+    plan = _select_plan(ba, bb, driver, batch=len(pairs))
     if driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan)):
         return [mul(a, b, driver) for a, b in pairs]
     La, Lb = cdiv(ba, DIGIT_BITS), cdiv(bb, DIGIT_BITS)

