@@ -129,21 +129,35 @@ def residues_streamed(out, primes, max_bytes=32 << 20) -> dict:
     def slice_at(x, start):
         return jax.lax.dynamic_slice_in_dim(x, start, step, axis=x.ndim - 1)
 
+    def fetch(start):
+        # buffer frees on the remote backend land asynchronously: right
+        # after the out-of-core pipeline the arena can be transiently full,
+        # so RESOURCE_EXHAUSTED here is retryable (frees drain within
+        # seconds)
+        for attempt in range(9):
+            try:
+                dev = slice_at(out, jnp.int32(start))
+                part = np.asarray(dev)
+                dev.delete()
+                return part
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 8:
+                    raise
+                log(f"bench: fetch at {start} resource-exhausted; "
+                    f"retrying in {15 * (attempt + 1)}s")
+                time.sleep(15 * (attempt + 1))
+
     res = {p: 0 for p in primes}
     done = 0
     starts = list(range(0, n - step + 1, step))
     for s in starts:
-        dev = slice_at(out, jnp.int32(s))
-        part = np.asarray(dev)
-        dev.delete()
+        part = fetch(s)
         v = int.from_bytes(part.astype("<u2").tobytes(), "little")
         for p in primes:
             res[p] = (res[p] + v * pow(2, 16 * s, p)) % p
         done = s + step
     if done < n:
-        dev = slice_at(out, jnp.int32(n - step))
-        part = np.asarray(dev)[..., done - (n - step):]
-        dev.delete()
+        part = fetch(n - step)[..., done - (n - step):]
         v = int.from_bytes(part.astype("<u2").tobytes(), "little")
         for p in primes:
             res[p] = (res[p] + v * pow(2, 16 * done, p)) % p
@@ -295,6 +309,22 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     # fetched slices into mod-prime residues (the 2 GB whole-product fetch
     # exhausted the remote backend even in 128 MB slices)
     if bits > 2_000_000_000:
+        # drain the device queue first: the tunneled backend can ack
+        # block_until_ready while the chunked pipeline is still executing
+        # server-side, and transfers into the saturated queue come back
+        # RESOURCE_EXHAUSTED.  A scalar fetch with a data dependency on the
+        # product forces real completion before the streaming starts.
+        log("bench: draining device queue (scalar dependency fetch)")
+        for attempt in range(9):
+            try:
+                _ = int(jnp.sum(out[..., :128]))
+                break
+            except Exception as e:
+                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 8:
+                    raise
+                log(f"bench: drain fetch resource-exhausted; "
+                    f"retrying in {15 * (attempt + 1)}s")
+                time.sleep(15 * (attempt + 1))
         del da, db
         res = residues_streamed(out, _check_primes())
         del out

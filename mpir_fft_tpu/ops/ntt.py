@@ -200,7 +200,14 @@ def _matrices_p(M: int, primes: tuple, planes: int) -> list[dict]:
 def _ntt4_mats(M: int) -> list[dict]:
     """Per prime: 4-step (Bailey) factorization of the length-M cyclic DFT
     into two length-m DFT matmul passes with an elementwise twiddle between
-    them, plus explicit negacyclic psi^i weighting tables.
+    them.  The negacyclic psi^i weights are FOLDED INTO THE MATRICES
+    (round 5; VERDICT r4 next #2): psi^(i1*m2+i2) factors as
+    psi^(i1*m2)*psi^(i2) -- the i1 part scales F1's rows, the i2 part rides
+    the cross-twiddle table T (and on the inverse side psi^(-i2) rides Ti,
+    M^-1*psi^(-i1*m2) scales G1's columns).  The explicit k_in/k_out weight
+    passes of rounds 2-4 vanish: input planes are planes of the RAW
+    balanced digits, and the inverse's last GEMM emits the fully unweighted
+    coefficients.
 
     The dense [kM, kM] plane blocks at M=4096 weigh 151 MB each and get
     inlined into the lowered program (the remote compiler rejects the
@@ -223,29 +230,31 @@ def _ntt4_mats(M: int) -> list[dict]:
         for e in range(M):
             pw[e] = acc
             acc = acc * om % p
-        i1 = np.arange(m1, dtype=np.int64)
-        i2 = np.arange(m2, dtype=np.int64)
-        F1 = pw[(m2 * np.outer(i1, i1)) % M]    # [i1, k1]: om_m1 = om^m2
-        F2 = pw[(m1 * np.outer(i2, i2)) % M]    # [i2, k2]: om_m2 = om^m1
-        G1 = pw[(-m2 * np.outer(i1, i1)) % M]
-        G2 = pw[(-m1 * np.outer(i2, i2)) % M]
-        T = pw[np.outer(i2, i1) % M]            # [i2, k1] cross twiddle
-        Ti = pw[(-np.outer(i1, i2)) % M]        # [k1, i2] inverse twiddle
         ppw = np.empty(2 * M, np.int64)
         acc = 1
         for e in range(2 * M):
             ppw[e] = acc
             acc = acc * psi % p
-        idx = np.arange(M, dtype=np.int64)      # i = i1*m2 + i2 (row-major)
-        Wt = ppw[idx % (2 * M)]                 # psi^i negacyclic weight
+        i1 = np.arange(m1, dtype=np.int64)
+        i2 = np.arange(m2, dtype=np.int64)
         Minv = pow(M, -1, p)
-        Wti = (Minv * ppw[(-idx) % (2 * M)]) % p
+        # F1 rows carry psi^(i1*m2); T carries psi^(i2)
+        F1 = (ppw[(i1 * m2) % (2 * M)][:, None]
+              * pw[(m2 * np.outer(i1, i1)) % M]) % p     # [i1, k1]
+        F2 = pw[(m1 * np.outer(i2, i2)) % M]             # [i2, k2]
+        T = (ppw[i2 % (2 * M)][:, None]
+             * pw[np.outer(i2, i1) % M]) % p             # [i2, k1]
+        # inverse: Ti carries psi^(-i2); G1 columns carry M^-1 psi^(-i1*m2)
+        G2 = pw[(-m1 * np.outer(i2, i2)) % M]            # [k2 dot]
+        Ti = (ppw[(-i2) % (2 * M)][None, :]
+              * pw[(-np.outer(i1, i2)) % M]) % p         # [k1, i2]
+        G1 = (Minv * ppw[(-i1 * m2) % (2 * M)][None, :]
+              * pw[(-m2 * np.outer(i1, i1)) % M]) % p    # [k1, i1]
         out.append({
             "p": p, "k": k, "m1": m1, "m2": m2,
             "F1": _plane_block(F1, p, k), "F2": _plane_block(F2, p, k),
             "G1": _plane_block(G1, p, k), "G2": _plane_block(G2, p, k),
             "T": T.astype(np.int32), "Ti": Ti.astype(np.int32),
-            "Wt": Wt.astype(np.int32), "Wti": Wti.astype(np.int32),
         })
     return out
 
@@ -809,6 +818,69 @@ def _link3(fn, ins, tables, out_shape, out_dtype, fudge: int):
     )(*ins, *tables)
 
 
+def _link3_multi(fn, ins, tables, out_shapes, out_dtype, fudge: int):
+    """_link3 with MULTIPLE outputs: fn returns a tuple matching
+    out_shapes.  One read of the inputs feeds every output (the
+    all-primes/all-operands input-planes pass)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused import _interpret
+
+    B = ins[0].shape[0]
+    rb = _link_rb(B, ins[0].shape[-2] * ins[0].shape[-1], fudge)
+
+    def kernel(*refs):
+        n = len(ins) + len(tables)
+        vals = [r[...] for r in refs[:n]]
+        outs = fn(*vals)
+        for o_ref, o in zip(refs[n:], outs):
+            o_ref[...] = o
+
+    def spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec((rb,) + tuple(shape[1:]),
+                            lambda i, nd=nd: (i,) + (0,) * (nd - 1),
+                            memory_space=pltpu.VMEM)
+
+    def tspec(t):
+        nd = t.ndim
+        return pl.BlockSpec(t.shape, lambda i, nd=nd: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(B // rb,),
+        out_shape=tuple(jax.ShapeDtypeStruct(s, out_dtype)
+                        for s in out_shapes),
+        in_specs=[spec(x.shape) for x in ins] + [tspec(t) for t in tables],
+        out_specs=tuple(spec(s) for s in out_shapes),
+        interpret=_interpret(),
+    )(*ins, *tables)
+
+
+def _ntt4_input_planes(a3: jax.Array, b3: jax.Array, mats) -> list:
+    """ONE kernel pass: balanced carry pass on both operands + per-prime
+    plane conversion -- 6 int8 plane tensors from 2 HBM reads (round 5;
+    both operands' former per-prime k_in passes collapse here)."""
+    B, m1, m2 = a3.shape
+    k = mats[0]["k"]
+
+    def body(xa, xb):
+        xa = _balanced_pass3(xa)
+        xb = _balanced_pass3(xb)
+        outs = []
+        for mat in mats:
+            outs.append(_to_planes_ax(xa, mat["p"], k, -2))
+            outs.append(_to_planes_ax(xb, mat["p"], k, -2))
+        return tuple(outs)
+
+    shapes = ((B, k * m1, m2),) * (2 * len(mats))
+    outs = _link3_multi(body, (a3, b3), (), shapes, jnp.int8,
+                        10 + 3 * len(mats))
+    return [(outs[2 * i], outs[2 * i + 1]) for i in range(len(mats))]
+
+
 def _dot_ax(planes: jax.Array, blk, axis: int) -> jax.Array:
     """Contract `axis` of the int8 plane tensor against plane block axis 0;
     the contracted axis lands LAST in the output (int32, raw plane sums)."""
@@ -819,23 +891,23 @@ def _dot_ax(planes: jax.Array, blk, axis: int) -> jax.Array:
     )
 
 
-def _ntt4_linked_parts(a3: jax.Array, b3: jax.Array, mat: dict) -> jax.Array:
+def _ntt4_linked_parts(pl_a: jax.Array, pl_b: jax.Array, B: int,
+                       mat: dict) -> jax.Array:
     """One prime's full 4-step negacyclic product through link kernels:
-    [B, m1, m2] digit grids (int32, |digit| <= 2^29) -> [B, m2, m1] residue
-    values in [0, p) (i2, i1 PERMUTED layout; caller transposes).  Four XLA
-    whole-batch plane GEMMs; every inter-dot chain is one Pallas pass and no
-    explicit transpose exists anywhere (contraction-order layouts)."""
-    p, k = mat["p"], mat["k"]
-    B, m1, m2 = a3.shape
-    Wt2 = jnp.asarray(mat["Wt"].reshape(m1, m2))
-    WtiT = jnp.asarray(np.ascontiguousarray(mat["Wti"].reshape(m1, m2).T))
-    T = jnp.asarray(mat["T"])                    # [m2(i2), m1(k1)]
-    Ti = jnp.asarray(mat["Ti"])                  # [m1(k1), m2(i2)]
+    per-prime input planes [B, k*m1, m2] (from _ntt4_input_planes) ->
+    [B, m2, m1] residue values in [0, p) (i2, i1 PERMUTED layout; caller
+    transposes).  Four XLA whole-batch plane GEMMs; every inter-dot chain
+    is one Pallas pass and no explicit transpose exists anywhere
+    (contraction-order layouts).
 
-    def k_in(x, wt):
-        x = _balanced_pass3(x)                   # digits -> ~[-2^15, 2^15]
-        return _to_planes_ax(
-            _modmul(_red_center(x, p), wt, p, out="loose"), p, k, -2)
+    Round 5: the psi weights live inside F1/T and Ti/G1 (_ntt4_mats), so
+    the former per-operand k_in weight passes and the k_out weight pass
+    are gone (input planes come shared from _ntt4_input_planes; the last
+    link is a plain fold)."""
+    p, k = mat["p"], mat["k"]
+    m1, m2 = mat["m1"], mat["m2"]
+    T = jnp.asarray(mat["T"])                    # [m2(i2), m1(k1)], psi-folded
+    Ti = jnp.asarray(mat["Ti"])                  # [m1(k1), m2(i2)], psi-folded
 
     def k_mid1(S, t):
         v = _fold_S(S, p, k, out="loose")        # [rb, m2, m1]
@@ -850,31 +922,28 @@ def _ntt4_linked_parts(a3: jax.Array, b3: jax.Array, mat: dict) -> jax.Array:
         v = _fold_S(S, p, k, out="loose")        # [rb, k1, i2]
         return _to_planes_ax(_modmul(v, t, p, out="loose"), p, k, -2)
 
-    def k_out(S, wt):
-        v = _fold_S(S, p, k, out="loose")        # [rb, i2, i1]
-        return _modmul(v, wt, p, out="nonneg")
+    def k_out(S):
+        return _fold_S(S, p, k, out="nonneg")    # [rb, i2, i1]
 
-    def fwd(x3):
-        pl1 = _link3(k_in, (x3,), (Wt2,), (B, k * m1, m2), jnp.int8, 10)
+    def fwd(pl1):
         S1 = _dot_ax(pl1, mat["F1"], -2)         # [B, m2, km1]
         pl2 = _link3(k_mid1, (S1,), (T,), (B, k * m2, m1), jnp.int8, 10)
         return _dot_ax(pl2, mat["F2"], -2)       # [B, m1, km2]
 
-    Sa, Sb = fwd(a3), fwd(b3)
+    Sa, Sb = fwd(pl_a), fwd(pl_b)
     pp = _link3(k_pw, (Sa, Sb), (), (B, m1, k * m2), jnp.int8, 12)
     S3 = _dot_ax(pp, mat["G2"], -1)              # [B, m1, km2] (k1, i2)
     pl4 = _link3(k_mid3, (S3,), (Ti,), (B, k * m1, m2), jnp.int8, 10)
     S4 = _dot_ax(pl4, mat["G1"], -2)             # [B, m2, km1] (i2, i1)
-    return _link3(k_out, (S4,), (WtiT,), (B, m2, m1), jnp.int32, 10)
+    return _link3(k_out, (S4,), (), (B, m2, m1), jnp.int32, 10)
 
 
 def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
     """Digits [..., M] (any int32 magnitude) -> permuted spectrum
     [..., m1, m2] of the psi-weighted (negacyclic) sequence, values in
-    [0, p)."""
+    [0, p).  The psi weights ride F1/T (see _ntt4_mats)."""
     p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
-    r = _modmul(_red_center(x, p), jnp.asarray(mat["Wt"]), p, out="loose")
-    a = r.reshape(r.shape[:-1] + (m1, m2))
+    a = x.reshape(x.shape[:-1] + (m1, m2))
     a = jnp.swapaxes(a, -1, -2)                              # [.., i2, i1]
     a = _apply_block(_to_planes(a, p, k), mat["F1"], p, k)   # [.., i2, k1]
     a = _modmul(a, jnp.asarray(mat["T"]), p, out="loose")
@@ -884,15 +953,16 @@ def _ntt4_fwd(x: jax.Array, mat: dict) -> jax.Array:
 
 def _ntt4_inv(y: jax.Array, mat: dict) -> jax.Array:
     """Permuted spectrum [..., m1, m2] -> negacyclic coefficient residues
-    [..., M] in [0, p) (includes the M^-1 psi^-j unweighting)."""
+    [..., M] in [0, p); the M^-1 psi^-j unweighting rides Ti/G1 (see
+    _ntt4_mats)."""
     p, k, m1, m2 = mat["p"], mat["k"], mat["m1"], mat["m2"]
     a = _apply_block(_to_planes(y, p, k), mat["G2"], p, k)   # [.., k1, i2]
     a = _modmul(a, jnp.asarray(mat["Ti"]), p, out="loose")
     a = jnp.swapaxes(a, -1, -2)                              # [.., i2, k1]
-    a = _apply_block(_to_planes(a, p, k), mat["G1"], p, k)   # [.., i2, i1]
+    a = _apply_block(_to_planes(a, p, k), mat["G1"], p, k,
+                     out="nonneg")                           # [.., i2, i1]
     a = jnp.swapaxes(a, -1, -2)                              # [.., i1, i2]
-    a = a.reshape(a.shape[:-2] + (m1 * m2,))
-    return _modmul(a, jnp.asarray(mat["Wti"]), p)
+    return a.reshape(a.shape[:-2] + (m1 * m2,))
 
 
 # ---------------------------------------------------------------------------
@@ -965,9 +1035,10 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
             m1, m2 = mats[0]["m1"], mats[0]["m2"]
             a3 = a.reshape(B, m1, m2)
             b3 = b.reshape(B, m1, m2)
+            planes = _ntt4_input_planes(a3, b3, mats)
             parts = []
-            for mat in mats:
-                V = _ntt4_linked_parts(a3, b3, mat)          # [B, m2, m1]
+            for mat, (pl_a, pl_b) in zip(mats, planes):
+                V = _ntt4_linked_parts(pl_a, pl_b, B, mat)   # [B, m2, m1]
                 parts.append(
                     jnp.swapaxes(V, -1, -2).reshape(lead + (M,)))
             primes = tuple(mat["p"] for mat in mats)
@@ -993,20 +1064,16 @@ def mulmod_ntt(a: jax.Array, b: jax.Array, canonical: bool = False) -> jax.Array
 # ---------------------------------------------------------------------------
 
 def _ntt4_tables(M: int):
-    """Kernel-input table list (8 arrays per prime, fixed order) + static
-    metas.  Tables are KB-scale ([k*m, k*m] int8 blocks, 2-D int32 twiddle /
-    weight grids) -- they ride VMEM whole.  Weight tables are pre-shaped for
-    the kernel's dot_general-ordered layouts: Wt as [m1, m2] (input [i1, i2]),
-    Wti TRANSPOSED to [m2, m1] (the inverse ends in [i2, i1] order)."""
+    """Kernel-input table list (6 arrays per prime, fixed order) + static
+    metas.  Tables are KB-scale ([k*m, k*m] int8 blocks, 2-D int32 twiddle
+    grids) -- they ride VMEM whole.  The psi weights live inside F1/T and
+    Ti/G1 (_ntt4_mats), so no separate weight grids exist."""
     mats = _ntt4_mats(M)
     arrs, metas = [], []
     for mat in mats:
-        m1, m2 = mat["m1"], mat["m2"]
         arrs += [
             mat["F1"], mat["F2"], mat["G1"], mat["G2"],
             mat["T"], mat["Ti"],
-            mat["Wt"].reshape(m1, m2),
-            np.ascontiguousarray(mat["Wti"].reshape(m1, m2).T),
         ]
         metas.append({k: mat[k] for k in ("p", "k", "m1", "m2")})
     return arrs, metas
@@ -1074,15 +1141,15 @@ def _fused_mulmod_fn(M: int, B: int):
         a = _balanced_pass3(a_ref[...])
         b = _balanced_pass3(b_ref[...])
         for i, meta in enumerate(metas):
-            t8 = tab[8 * i : 8 * i + 8]
+            t6 = tab[6 * i : 6 * i + 6]
             p, k = meta["p"], meta["k"]
-            F1, F2, G1, G2 = (t8[j][...] for j in range(4))
-            T, Ti, Wt, WtiT = (t8[j][...] for j in range(4, 8))
+            F1, F2, G1, G2 = (t6[j][...] for j in range(4))
+            T, Ti = (t6[j][...] for j in range(4, 6))
 
             def fwd(x):
                 # [rb, i1, i2] -> [rb, i2, k1] -> [rb, k1, k2]
-                r = _modmul(jnp.mod(x, p), Wt, p)
-                r = _dot_fold(r, F1, p, k, -2)
+                # (psi weights ride F1/T: no input weight pass)
+                r = _dot_fold(x, F1, p, k, -2)
                 r = _modmul(r, T, p)
                 return _dot_fold(r, F2, p, k, -2)
 
@@ -1090,8 +1157,7 @@ def _fused_mulmod_fn(M: int, B: int):
             # [rb, k1, k2] -> [rb, k1, i2] -> [rb, i2, i1]
             r = _dot_fold(prod, G2, p, k, -1)
             r = _modmul(r, Ti, p)
-            r = _dot_fold(r, G1, p, k, -2)
-            outs[i][...] = _modmul(r, WtiT, p)
+            outs[i][...] = _dot_fold(r, G1, p, k, -2)
 
     def kernel_crt(r1_ref, r2_ref, r3_ref, o_ref):
         rs = (r1_ref[...], r2_ref[...], r3_ref[...])
