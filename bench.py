@@ -190,6 +190,25 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def patient(thunk, what="fetch", attempts=9):
+    """Run a device-fetch thunk, retrying RESOURCE_EXHAUSTED with growing
+    backoff: the tunneled backend acks block_until_ready while a deep
+    chunk-program queue is still executing server-side, and transfers into
+    the saturated queue fail transiently (the 4x10^9-bit out-of-core
+    runs)."""
+    import time as _t
+
+    for attempt in range(attempts):
+        try:
+            return thunk()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == attempts - 1:
+                raise
+            log(f"bench: {what} resource-exhausted; "
+                f"retrying in {15 * (attempt + 1)}s")
+            _t.sleep(15 * (attempt + 1))
+
+
 def _log_hbm(tag):
     try:
         import jax
@@ -315,16 +334,7 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
         # RESOURCE_EXHAUSTED.  A scalar fetch with a data dependency on the
         # product forces real completion before the streaming starts.
         log("bench: draining device queue (scalar dependency fetch)")
-        for attempt in range(9):
-            try:
-                _ = int(jnp.sum(out[..., :128]))
-                break
-            except Exception as e:
-                if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 8:
-                    raise
-                log(f"bench: drain fetch resource-exhausted; "
-                    f"retrying in {15 * (attempt + 1)}s")
-                time.sleep(15 * (attempt + 1))
+        patient(lambda: int(jnp.sum(out[..., :128])), "drain fetch")
         del da, db
         res = residues_streamed(out, _check_primes())
         del out
@@ -347,7 +357,7 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
     # executions with real result fetches before timing (one is enough at
     # huge sizes where a single run is seconds of real device work)
     for _ in range(1 if bits > 1_000_000_000 else 2):
-        _ = int(jnp.sum(step(da, db)))
+        _ = patient(lambda: int(jnp.sum(step(da, db))), "warm fetch")
 
     import contextlib
     import os
@@ -360,8 +370,10 @@ def bench_one(bits, reps=None, driver="flagship", depth=None):
         prev = da
         for _ in range(reps):
             prev = step(prev, db)
-        # scalar fetch closes the dependency chain
-        sink = int(jnp.sum(prev))
+        # scalar fetch closes the dependency chain (patient: at out-of-core
+        # sizes the queued chunk programs saturate the tunnel; retried
+        # fetch waits without perturbing the enqueued work being timed)
+        sink = patient(lambda: int(jnp.sum(prev)), "timing fetch")
         wall = (time.perf_counter() - t0) / reps
 
     # correctness spot-check on the plain (unchained) device result

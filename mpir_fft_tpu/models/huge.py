@@ -72,6 +72,22 @@ CHUNK_BYTES = int(os.environ.get("MPIR_FFT_HUGE_CHUNK_MB", 256)) << 20
 # spectrum row-chunk bytes; also the pointwise batch (the recursive mulmod's
 # inner-ring temps run ~6x the unpacked chunk, so these stay smaller)
 PW_CHUNK_BYTES = int(os.environ.get("MPIR_FFT_HUGE_PW_CHUNK_MB", 128)) << 20
+# drain the dispatch queue at every pass boundary (default on): the remote
+# (tunneled) backend acks block_until_ready before queued chunk programs
+# execute, and an unbounded queue deadlocks allocation against the deferred
+# frees of consumed stores -- observed as persistent RESOURCE_EXHAUSTED on
+# any transfer after a 4x10^9-bit run.  A scalar fetch with a data
+# dependency on the pass's last chunk forces real execution; per-pass
+# granularity bounds live HBM to one pass's working set, the blocking
+# design invariant of this engine.
+_SYNC = os.environ.get("MPIR_FFT_HUGE_SYNC", "1") != "0"
+
+
+def _drain(x) -> None:
+    """Force real execution of everything `x` depends on (scalar fetch)."""
+    if not _SYNC:
+        return
+    _ = int(jax.device_get(jnp.sum(jnp.ravel(x)[-1:].astype(jnp.int32))))
 
 
 # ---------------------------------------------------------------------------
@@ -216,6 +232,7 @@ def _col_pass(store: Store, fcol, G_in: int, g_keep: int, L: int,
 
         parts = [prog(store.parts, jnp.int32(c0))
                  for c0, _ in _ranges(n1, cbt)]
+        _drain(parts[-1][0])
         return Store("C", parts, n1)
 
     @jax.jit
@@ -225,6 +242,7 @@ def _col_pass(store: Store, fcol, G_in: int, g_keep: int, L: int,
         return _pack(jnp.swapaxes(out[:, :g_keep, :], 0, 1))
 
     parts = [prog(store.parts, jnp.int32(c0)) for c0, _ in _ranges(n1, cb)]
+    _drain(parts[-1][0])
     return Store("C", parts, n1)
 
 
@@ -267,6 +285,7 @@ def _row_pass(store: Store, frow, L: int, gb: int, ctx=None) -> Store:
         # gb % ndev == 0 imply (G mod gb) % ndev == 0
         parts = [prog_for(gsz)(store.parts, jnp.int32(g0))
                  for g0, gsz in _ranges(G, gb)]
+        _drain(parts[-1][0])
         return Store("R", parts, n1)
 
     @functools.lru_cache(maxsize=2)
@@ -279,6 +298,7 @@ def _row_pass(store: Store, frow, L: int, gb: int, ctx=None) -> Store:
 
     parts = [prog_for(gsz)(store.parts, jnp.int32(g0))
              for g0, gsz in _ranges(G, gb)]
+    _drain(parts[-1][0])
     return Store("R", parts, n1)
 
 
@@ -348,6 +368,7 @@ def _split_store(digits, plan: MulPlan, j: int, twiddle: bool) -> Store:
         return prog
 
     parts = [prog_for(sz)(digits, jnp.int32(r0)) for r0, sz in _ranges(jr, rb)]
+    _drain(parts[-1][0])
     return Store("R", parts, n1)
 
 
@@ -479,6 +500,7 @@ def _pointwise_rows(fa: Store, fb, plan: MulPlan, ctx=None):
     if fb is not None:
         fb.parts = []
     assert sum(u.shape[0] for u, _ in outL) == bnd
+    _drain((outR or outL)[-1][0])
     return Store("R", outL, n1), Store("R", outR, n1)
 
 

@@ -54,6 +54,18 @@ STAGE_FUDGE = int(os.environ.get("MPIR_FFT_STAGE_FUDGE", "14"))
 # HBM-trip savings).  Round-3 (barrel twiddles) measured 5 best.
 LADDER = int(os.environ.get("MPIR_FFT_LADDER", "4"))
 
+
+def ladder_stages(L: int) -> int:
+    """Ladder depth (stages per kernel) serving digit width L without
+    blowing Mosaic's 16M scoped-vmem stack: the sublane constraint floors
+    the h-block at 8 rows, so the resident block is >= 8 * 2^k * Lpad * 4
+    bytes, and the measured Mosaic stack runs ~6x the block (the 2.5e9-bit
+    w=3 plans, L = 6144, overflowed at K = 16: 17.83M > 16M).  Returns
+    min(LADDER, largest k whose K = 2^k fits)."""
+    Lpad = -(-L // 128) * 128
+    max_k = max(1, ((16 << 20) // (6 * 8 * Lpad * 4)).bit_length() - 1)
+    return max(1, min(LADDER, max_k))
+
 # diagnostics: ladder calls that took the twiddle-factorize branch, and
 # ladder stages that applied their twiddles as static-unrolled shifts,
 # since import.  Tests pin that their shapes actually exercise each branch

@@ -145,11 +145,13 @@ def fft_radix2(x, w: int, W: int, post_exps: np.ndarray | None = None,
     L = x.shape[-1]
     if _stage_fusable(x):
         # multi-stage ladder kernels: LADDER stages share one HBM round trip
-        from .fused import LADDER, fused_butterfly_ladder
+        # (width-capped: wide digit rows shrink the ladder so the h-block
+        # floor keeps the Mosaic stack inside scoped vmem)
+        from .fused import fused_butterfly_ladder, ladder_stages
 
         l = 0
         while l < D:
-            kg = min(LADDER, D - l)
+            kg = min(ladder_stages(L), D - l)
             K = 1 << kg
             hk = C >> (l + kg)
             steps = tuple(w << (l + j) for j in range(kg))
@@ -295,11 +297,11 @@ def ifft_radix2(x, w: int, W: int, pre_exps: np.ndarray | None = None,
     if _stage_fusable(x):
         # multi-stage ladder kernels, innermost group first (mirror of the
         # forward grouping; pre_exps rides the first-executed group)
-        from .fused import LADDER, fused_butterfly_ladder
+        from .fused import fused_butterfly_ladder, ladder_stages
 
         l_hi = D - skip_inner
         while l_hi > 0:
-            kg = min(LADDER, l_hi)
+            kg = min(ladder_stages(L), l_hi)
             l = l_hi - kg
             K = 1 << kg
             hk = C >> l_hi
