@@ -572,26 +572,36 @@ def fused_twiddle_half(x, e0: int, step: int, W: int, h: int):
     return out.reshape(x.shape)
 
 def fused_canonicalize_plain(x):
-    """Exact non-modular carry canonicalization of a huge nonnegative 1-D
-    digit vector (the final combine's carrying add, ref FFT_combine_bits
+    """Exact non-modular carry canonicalization of a huge nonnegative digit
+    vector (the final combine's carrying add, ref FFT_combine_bits
     mul_fft.c:207-267) in ~2.5 HBM round trips instead of the ~30 whole-
-    array passes of the flat doubling scan.
+    array passes of the flat doubling scan.  1-D, or 2-D with INDEPENDENT
+    rows (the batched mul_many combine -- round 5: the batch path fell to
+    the unfused scan, half the batch8@10^7 regression).
 
-    Classic two-level carry scan: the vector is viewed as (R, C2) rows;
+    Classic two-level carry scan: each vector is viewed as (R, C2) rows;
     kernel A bounds digits row-locally (two carry passes, boundary carries
     out as per-row scalars) and emits per-row generate/propagate summaries;
-    a tiny host-level (g, p) scan over the R row summaries produces each
-    row's incoming carry; kernel B applies the exact row-local carry scan
-    seeded with that carry.  Digit contract matches split.canonicalize_plain:
-    input digits nonnegative < ~2^20, true value fits the vector."""
-    (N,) = x.shape
+    a tiny host-level (g, p) scan over the R row summaries (per batch row,
+    never crossing batch boundaries) produces each row's incoming carry;
+    kernel B applies the exact row-local carry scan seeded with that carry.
+    Digit contract matches split.canonicalize_plain: input digits
+    nonnegative < ~2^20, true value fits each vector."""
+    if x.ndim == 2:
+        Bt, N = x.shape
+    else:
+        (N,) = x.shape
+        Bt = 1
     C2 = 4096
     R = -(-N // C2)
     R8 = -(-R // 8) * 8
     pad = R8 * C2 - N
-    xp = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
-    rows = xp.reshape(R8, C2)
-    rb = _pick_row_block(R8, VMEM_SCOPED_LIMIT // (16 * C2 * x.dtype.itemsize))
+    xf = x.reshape(Bt, N)
+    xp = (jnp.concatenate([xf, jnp.zeros((Bt, pad), x.dtype)], axis=-1)
+          if pad else xf)
+    rows = xp.reshape(Bt * R8, C2)
+    rb = _pick_row_block(Bt * R8,
+                         VMEM_SCOPED_LIMIT // (16 * C2 * x.dtype.itemsize))
     spec = pl.BlockSpec((rb, C2), lambda i: (i, 0), memory_space=pltpu.VMEM)
     spec1 = pl.BlockSpec((rb, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     M16 = (1 << 16) - 1   # python literal: kernels cannot capture jnp scalars
@@ -629,34 +639,45 @@ def fused_canonicalize_plain(x):
 
     y, t, g_rest, p_rest = pl.pallas_call(
         kernel_a,
-        grid=(R8 // rb,),
+        grid=(Bt * R8 // rb,),
         out_shape=(
-            jax.ShapeDtypeStruct((R8, C2), x.dtype),
-            jax.ShapeDtypeStruct((R8, 1), x.dtype),
-            jax.ShapeDtypeStruct((R8, 1), x.dtype),
-            jax.ShapeDtypeStruct((R8, 1), x.dtype),
+            jax.ShapeDtypeStruct((Bt * R8, C2), x.dtype),
+            jax.ShapeDtypeStruct((Bt * R8, 1), x.dtype),
+            jax.ShapeDtypeStruct((Bt * R8, 1), x.dtype),
+            jax.ShapeDtypeStruct((Bt * R8, 1), x.dtype),
         ),
         in_specs=[spec],
         out_specs=(spec, spec1, spec1, spec1),
         interpret=_interpret(),
     )(rows)
 
-    # host-level (R8-element) scan: fold the boundary carry into digit 0's
-    # transition, compose with the rest of the row, exclusive (g, p) scan
-    t_shift = jnp.concatenate([jnp.zeros_like(t[:1]), t[:-1]], axis=0)
+    # host-level (R8-element, per batch row) scan: fold the boundary carry
+    # into digit 0's transition, compose with the rest of the row,
+    # exclusive (g, p) scan.  Shifts run along the R8 axis of a (Bt, R8, 1)
+    # view so carries never cross batch boundaries.
+    def shift_seg(v, fill):
+        v3 = v.reshape(Bt, R8, 1)
+        pad3 = jnp.full_like(v3[:, :1], fill)
+        return jnp.concatenate([pad3, v3[:, :-1]], axis=1).reshape(v.shape)
+
+    t_shift = shift_seg(t, 0)
     y0 = y[:, :1] + t_shift
     g0 = y0 >> 16
     p0 = jnp.where((y0 & M16) == M16, 1, 0)
     G = g_rest | (p_rest & g0)
     P = p_rest & p0
+    G3 = G.reshape(Bt, R8, 1)
+    P3 = P.reshape(Bt, R8, 1)
     k = 1
     while k < R8:
-        gs = jnp.concatenate([jnp.zeros_like(G[:k]), G[:-k]], axis=0)
-        ps = jnp.concatenate([jnp.ones_like(P[:k]), P[:-k]], axis=0)
-        G = G | (P & gs)
-        P = P & ps
+        gs = jnp.concatenate(
+            [jnp.zeros_like(G3[:, :k]), G3[:, :-k]], axis=1)
+        ps = jnp.concatenate(
+            [jnp.ones_like(P3[:, :k]), P3[:, :-k]], axis=1)
+        G3 = G3 | (P3 & gs)
+        P3 = P3 & ps
         k *= 2
-    row_cin = jnp.concatenate([jnp.zeros_like(G[:1]), G[:-1]], axis=0)
+    row_cin = shift_seg(G3.reshape(Bt * R8, 1), 0)
 
     def kernel_b(y_ref, ts_ref, rc_ref, o_ref):
         yv = y_ref[...]
@@ -679,13 +700,14 @@ def fused_canonicalize_plain(x):
 
     out = pl.pallas_call(
         kernel_b,
-        grid=(R8 // rb,),
-        out_shape=jax.ShapeDtypeStruct((R8, C2), x.dtype),
+        grid=(Bt * R8 // rb,),
+        out_shape=jax.ShapeDtypeStruct((Bt * R8, C2), x.dtype),
         in_specs=[spec, spec1, spec1],
         out_specs=spec,
         interpret=_interpret(),
     )(y, t_shift, row_cin)
-    return out.reshape(-1)[:N]
+    flat = out.reshape(Bt, R8 * C2)[:, :N]
+    return flat.reshape(x.shape)
 
 
 def _twiddle_half_rows(x, j, w: int, W: int, extra2: int = 0):

@@ -270,12 +270,14 @@ def _combine_bits_classes(c, bits: int, Lout: int, P: int, S: int):
 
 def canonicalize_plain(x):
     """Exact non-modular carry canonicalization of a nonnegative redundant
-    digit vector (digits < ~2^20); the true value must fit in the vector.
+    digit vector (digits < ~2^20); the true value must fit in the vector
+    (each row's, for batched 2-D input).
 
-    Huge 1-D vectors (the final combine at 10^8+ bits) auto-fuse into the
-    two-level Pallas carry scan (fused.fused_canonicalize_plain): ~2.5 HBM
-    round trips instead of ~30 whole-array passes."""
-    if x.ndim == 1 and x.shape[-1] >= (1 << 16):
+    Huge vectors (the final combine at 10^8+ bits; batched mul_many rows)
+    auto-fuse into the two-level Pallas carry scan
+    (fused.fused_canonicalize_plain): ~2.5 HBM round trips instead of ~30
+    whole-array passes."""
+    if x.ndim <= 2 and x.shape[-1] >= (1 << 16):
         from .fused import fused_canonicalize_plain, use_pallas
         from .transforms import _NO_FUSE
 

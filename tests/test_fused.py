@@ -189,6 +189,32 @@ def test_fused_canonicalize_plain(rng):
         assert int.from_bytes(got.astype("<u2").tobytes(), "little") == want
 
 
+def test_fused_canonicalize_plain_batched(rng):
+    """Batched (2-D) two-level carry scan: rows canonicalize INDEPENDENTLY
+    (no carry crosses a batch boundary) -- the mul_many combine path
+    (round 5: the batched combine previously fell to the unfused scan)."""
+    from mpir_fft_tpu.ops.fused import fused_canonicalize_plain
+
+    B, N = 3, 1 << 16
+    x = rng.integers(0, 1 << 20, (B, N)).astype(np.int32)
+    x[:, -4:] = 0
+    # row 1: all-propagate ripple from digit 0; would corrupt row 2's low
+    # digits if the scan crossed the boundary
+    x[1] = 0xFFFF
+    x[1, 0] = 0x1FFFF
+    x[1, -4:] = 0
+    want = [
+        sum(int(v) << (16 * i) for i, v in enumerate(x[b].tolist()))
+        for b in range(B)
+    ]
+    with force_pallas(True):
+        got = np.asarray(fused_canonicalize_plain(jnp.asarray(x)))
+    assert got.shape == (B, N)
+    assert ((got >= 0) & (got < 1 << 16)).all()
+    for b in range(B):
+        assert int.from_bytes(got[b].astype("<u2").tobytes(), "little") == want[b]
+
+
 def test_fused_twiddle_half_matches_plain(rng):
     """Affine half-bit twiddle kernel == the plain select path, across
     parities (all-even, alternating, negative step, offset slice, single)."""
