@@ -90,6 +90,20 @@ def _drain(x) -> None:
     _ = int(jax.device_get(jnp.sum(jnp.ravel(x)[-1:].astype(jnp.int32))))
 
 
+def _patient(thunk, attempts: int = 8):
+    """Retry a dispatch that can transiently RESOURCE_EXHAUST while the
+    remote backend's deferred frees drain."""
+    import time
+
+    for attempt in range(attempts):
+        try:
+            return thunk()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == attempts - 1:
+                raise
+            time.sleep(10 * (attempt + 1))
+
+
 # ---------------------------------------------------------------------------
 # Packed storage: canonical digits as uint16 planes + int8 mask of -1 rows
 # ---------------------------------------------------------------------------
@@ -546,8 +560,15 @@ class _CombineAcc:
         self.acc = self._prog_for(c.shape[0])(self.acc, c, jnp.int32(row0))
 
     def finish(self):
+        # drain first: the canonicalize scan's multi-GB transients must not
+        # land on top of still-queued pass programs and their deferred
+        # frees (observed RESOURCE_EXHAUSTED at 4x10^9 bits); the final
+        # slice retries for the same reason
+        _drain(self.acc)
         out = canonicalize_plain(self.acc)
-        return out[: self.Lout]
+        _drain(out)
+        self.acc.delete()
+        return _patient(lambda: out[: self.Lout])
 
 
 def _inverse_and_combine(prodL: Store, prodR: Store, plan: MulPlan,
