@@ -565,8 +565,13 @@ class _CombineAcc:
         # frees (observed RESOURCE_EXHAUSTED at 4x10^9 bits); the final
         # slice retries for the same reason
         _drain(self.acc)
-        out = canonicalize_plain(self.acc)
-        _drain(out)
+
+        def canon():
+            out = canonicalize_plain(self.acc)
+            _drain(out)
+            return out
+
+        out = _patient(canon)
         self.acc.delete()
         return _patient(lambda: out[: self.Lout])
 
