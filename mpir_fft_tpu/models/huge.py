@@ -533,8 +533,12 @@ class _CombineAcc:
         nseg = cdiv(self.L, self.d)
         self.segL = nseg * self.d
         # padded accumulator: every row's window fits without clamping; the
-        # true value fits Lout, so the excess canonicalizes to zeros
-        self.acc = jnp.zeros((max(Lout, t * self.d + self.segL),), jnp.int32)
+        # true value fits Lout, so the excess canonicalizes to zeros.
+        # Rounded up to the fused carry scan's (8, 4096) row granularity so
+        # canonicalize_plain pads nothing (the pad concat is a whole-array
+        # copy -- 2 GB at 4e9 bits)
+        size = max(Lout, t * self.d + self.segL)
+        self.acc = jnp.zeros((-(-size // 32768) * 32768,), jnp.int32)
         d, L, segL = self.d, self.L, self.segL
 
         @functools.lru_cache(maxsize=8)

@@ -596,9 +596,10 @@ def fused_canonicalize_plain(x):
     R = -(-N // C2)
     R8 = -(-R // 8) * 8
     pad = R8 * C2 - N
-    xf = x.reshape(Bt, N)
-    xp = (jnp.concatenate([xf, jnp.zeros((Bt, pad), x.dtype)], axis=-1)
-          if pad else xf)
+    # pad on the original shape: a pre-reshape would dispatch an extra
+    # whole-array copy (2 GB at the 4e9-bit combine)
+    xp = (jnp.concatenate([x, jnp.zeros(x.shape[:-1] + (pad,), x.dtype)],
+                          axis=-1) if pad else x)
     rows = xp.reshape(Bt * R8, C2)
     rb = _pick_row_block(Bt * R8,
                          VMEM_SCOPED_LIMIT // (16 * C2 * x.dtype.itemsize))
