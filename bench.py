@@ -553,7 +553,7 @@ def bench_floor(bits, reps=None):
     }
 
 
-def bench_batch(bits, k, reps=None, driver="flagship"):
+def bench_batch(bits, k, reps=None, driver="flagship", depth=None):
     """Throughput mode: k products per dispatch chain via the batched
     pipeline (models.mul.mul_many's device path).  Reports per-product
     wall time; vs_baseline is against ONE GMP core doing the k products
@@ -576,7 +576,8 @@ def bench_batch(bits, k, reps=None, driver="flagship"):
 
     rng = np.random.default_rng(1)
     pairs = [(rand_bits(rng, bits), rand_bits(rng, bits)) for _ in range(k)]
-    plan, plan_source = _production_plan(bits, bits, driver, batch=k)
+    plan, plan_source = _production_plan(bits, bits, driver, depth=depth,
+                                         batch=k)
     assert not (driver == "flagship" and (flagship_is_huge(plan) or flagship_is_staged(plan))), \
         "batch mode targets sizes below the staged threshold"
     L = cdiv(bits, DIGIT_BITS)
@@ -724,7 +725,8 @@ def main():
         bits, k = int(sys.argv[2]), int(sys.argv[3])
         reps = int(sys.argv[4]) if len(sys.argv) > 4 else None
         driver = sys.argv[5] if len(sys.argv) > 5 else "flagship"
-        print(json.dumps(bench_batch(bits, k, reps, driver)))
+        depth = int(sys.argv[6]) if len(sys.argv) > 6 else None
+        print(json.dumps(bench_batch(bits, k, reps, driver, depth)))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "sqr":
         bits = int(sys.argv[2])
