@@ -689,15 +689,27 @@ def bench_mulmod(N, reps=None):
     sink = int(jnp.sum(prev))
     wall = (time.perf_counter() - t0) / reps
 
+    def mod_fermat(x):
+        # x mod (2^N+1) via the O(n) fold 2^N == -1 (CPython divmod is
+        # O(n*m) schoolbook -- 8+ minutes per rep at N = 2^24)
+        mask = (1 << N) - 1
+        acc, sign = 0, 1
+        while x:
+            acc += sign * (x & mask)
+            x >>= N
+            sign = -sign
+        return acc % p
+
     log("bench-mulmod: checking exactness")
     got = int_from_digits(out_host) % p
-    ok = got == (a * b) % p
+    ok = got == mod_fermat(a * b)
 
     log("bench-mulmod: measuring host baseline")
     t0 = time.perf_counter()
-    host_reps = max(1, min(8, int(0.5 / max(wall, 1e-4))))
+    host_reps = max(1, min(8 if N <= (1 << 22) else 2,
+                           int(0.5 / max(wall, 1e-4))))
     for _ in range(host_reps):
-        _ = (a * b) % p
+        _ = mod_fermat(a * b)
     base_s = (time.perf_counter() - t0) / host_reps
 
     return {
