@@ -718,7 +718,7 @@ def bench_mulmod(N, reps=None):
         "unit": "s",
         "vs_baseline": round(base_s / wall, 3),
         "exact": bool(ok),
-        "baseline": {"kind": "cpython_int_mod", "seconds": round(base_s, 6)},
+        "baseline": {"kind": "cpython_mul_fermat_fold", "seconds": round(base_s, 6)},
         "driver": "mulmod_int",
         "plan": plan_info,
         **limb_ops(N, N, wall),
